@@ -1,0 +1,173 @@
+"""Central configuration.
+
+One flat-ish config object referenced by every component, mirroring the
+reference Conf (src/conf.hpp) and its TOML sections
+(uncalled/conf/defaults.toml). Values below are the TOML defaults (which are
+what the reference CLI actually runs with — e.g. the event detector's
+max_mean is 40000 in the TOML, overriding the compiled-in 400).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+
+
+@dataclass
+class EventDetectorParams:
+    window_length1: int = 3
+    window_length2: int = 6
+    threshold1: float = 1.4
+    threshold2: float = 9.0
+    peak_height: float = 0.2
+    min_mean: float = 0.0
+    max_mean: float = 40000.0
+
+
+@dataclass
+class EventProfilerParams:
+    win_len: int = 25
+    win_stdv_min: float = 5.0
+
+
+@dataclass
+class NormalizerParams:
+    len: int = 6000
+    tgt_mean: float = 90.20827
+    tgt_stdv: float = 12.83266
+
+
+@dataclass
+class SeedTrackerParams:
+    min_aln_len: int = 25
+    min_mean_conf: float = 6.0
+    min_top_conf: float = 1.85
+
+
+@dataclass
+class MapperParams:
+    seed_len: int = 22
+    min_rep_len: int = 0
+    max_rep_copy: int = 50
+    max_consec_stay: int = 8
+    max_paths: int = 10000
+    max_events: int = 30000
+    max_stay_frac: float = 0.5
+    min_seed_prob: float = -3.75
+    evt_batch_size: int = 5
+    evt_timeout: float = 1e6
+    chunk_timeout: float = 4e6
+
+
+@dataclass
+class ReadParams:
+    num_channels: int = 512
+    bp_per_sec: int = 450
+    sample_rate: int = 4000
+    chunk_time: float = 1.0
+    max_chunks: int = 1000000
+
+    @property
+    def chunk_len(self) -> int:
+        return int(self.chunk_time * self.sample_rate)
+
+    @property
+    def bp_per_samp(self) -> float:
+        return float(self.bp_per_sec) / self.sample_rate
+
+
+@dataclass
+class IndexParams:
+    max_sample_dist: int = 100
+    min_samples: int = 50000
+    max_samples: int = 1000000
+    kmer_len: int = 5
+    matchpr1: float = 0.6334
+    matchpr2: float = 0.9838
+    pathlen_percentile: float = 0.05
+    max_replen: int = 100
+
+
+@dataclass
+class RealtimeParams:
+    host: str = "127.0.0.1"
+    port: int = 8000
+    duration: float = 0.0
+    max_active_reads: int = 512
+    active_chs: str = "full"  # full | even | odd
+    realtime_mode: str = "deplete"  # deplete | enrich
+
+
+@dataclass
+class SimParams:
+    ctl_seqsum: str = ""
+    unc_seqsum: str = ""
+    unc_paf: str = ""
+    sim_speed: float = 1.0
+    min_ch_reads: int = 10
+    scan_time: float = 10.0
+    scan_intv_time: float = 5400.0
+    ej_time: float = 0.1
+    sim_st: float = 0.0
+    sim_en: float = 0.0
+    sim_even: bool = False
+    sim_odd: bool = False
+
+
+@dataclass
+class EngineParams:
+    """TPU batching knobs (no reference equivalent; replaces thread counts)."""
+
+    batch_reads: int = 64  # read slots per device batch
+    max_paths: int = 1024  # device path budget per read (<= mapper.max_paths)
+    max_seeds_per_evt: int = 24  # per-event seed buffer
+    max_clusters: int = 384  # seed-cluster table capacity per read
+    evt_block: int = 64  # events advanced per jitted super-step
+    signal_block: int = 4096  # samples per event-detection block
+
+
+@dataclass
+class Conf:
+    bwa_prefix: str = ""
+    idx_preset: str = "default"
+    threads: int = 1
+    read_list: str = ""
+    max_reads: int = 0
+    event_detector: EventDetectorParams = field(default_factory=EventDetectorParams)
+    event_profiler: EventProfilerParams = field(default_factory=EventProfilerParams)
+    normalizer: NormalizerParams = field(default_factory=NormalizerParams)
+    seed_tracker: SeedTrackerParams = field(default_factory=SeedTrackerParams)
+    mapper: MapperParams = field(default_factory=MapperParams)
+    reads: ReadParams = field(default_factory=ReadParams)
+    index: IndexParams = field(default_factory=IndexParams)
+    realtime: RealtimeParams = field(default_factory=RealtimeParams)
+    simulator: SimParams = field(default_factory=SimParams)
+    engine: EngineParams = field(default_factory=EngineParams)
+
+    def load_toml(self, path: str) -> None:
+        import tomllib
+
+        with open(path, "rb") as f:
+            doc = tomllib.load(f)
+        section_map = {
+            "global": self,
+            "event_detector": self.event_detector,
+            "event_profiler": self.event_profiler,
+            "normalizer": self.normalizer,
+            "seed_tracker": self.seed_tracker,
+            "mapper": self.mapper,
+            "reads": self.reads,
+            "index": self.index,
+            "realtime": self.realtime,
+            "simulator": self.simulator,
+            "engine": self.engine,
+        }
+        alias = {"min_map_len": "min_aln_len", "max_chunk_wait": "chunk_timeout"}
+        for sec, values in doc.items():
+            tgt = section_map.get(sec)
+            if tgt is None or not isinstance(values, dict):
+                continue
+            for k, v in values.items():
+                k = alias.get(k, k)
+                if hasattr(tgt, k):
+                    setattr(tgt, k, v)

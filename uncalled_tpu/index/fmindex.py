@@ -257,11 +257,12 @@ class FMIndex:
 
 
 def popcount32(x: np.ndarray) -> np.ndarray:
-    x = np.asarray(x, dtype=np.uint32)
-    x = x - ((x >> np.uint32(1)) & np.uint32(0x55555555))
-    x = (x & np.uint32(0x33333333)) + ((x >> np.uint32(2)) & np.uint32(0x33333333))
-    x = (x + (x >> np.uint32(4))) & np.uint32(0x0F0F0F0F)
-    return ((x * np.uint32(0x01010101)) >> np.uint32(24)).astype(np.int64)
+    with np.errstate(over="ignore"):  # uint32 wraparound is intended
+        x = np.asarray(x, dtype=np.uint32)
+        x = x - ((x >> np.uint32(1)) & np.uint32(0x55555555))
+        x = (x & np.uint32(0x33333333)) + ((x >> np.uint32(2)) & np.uint32(0x33333333))
+        x = (x + (x >> np.uint32(4))) & np.uint32(0x0F0F0F0F)
+        return ((x * np.uint32(0x01010101)) >> np.uint32(24)).astype(np.int64)
 
 
 def load_index(prefix: str) -> FMIndex:
