@@ -1,0 +1,114 @@
+"""Event detection: numpy oracle vs reference dumps, and the batched JAX
+implementation vs the numpy oracle (reference: src/event_detector.cpp)."""
+
+import os
+import subprocess
+import tempfile
+
+import numpy as np
+import pytest
+
+from uncalled_tpu.ops.events import TAIL, detect_block, detect_events_np, make_detector_state
+
+GOLDEN_MAP = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tools",
+    "golden_rig",
+    "golden_map",
+)
+INDEX_PREFIX = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "fixtures", "example_index", "example_ref"
+)
+
+
+def reference_events(signal):
+    """Run the reference EventDetector via the golden rig binary."""
+    with tempfile.NamedTemporaryFile(suffix=".f32") as f:
+        signal.astype(np.float32).tofile(f.name)
+        out = subprocess.run(
+            [GOLDEN_MAP, INDEX_PREFIX, f.name, "x", "--events"],
+            capture_output=True,
+            text=True,
+            timeout=120,
+        )
+    rows = [l.split("\t") for l in out.stdout.splitlines() if l.startswith("E\t")]
+    return {
+        "start": np.array([int(r[1]) for r in rows]),
+        "length": np.array([float(r[2]) for r in rows], dtype=np.float32),
+        "mean": np.array([float(r[3]) for r in rows], dtype=np.float32),
+        "stdv": np.array([float(r[4]) for r in rows], dtype=np.float32),
+    }
+
+
+needs_rig = pytest.mark.skipif(
+    not os.path.exists(GOLDEN_MAP), reason="golden rig binary not built"
+)
+
+
+@needs_rig
+def test_oracle_matches_reference_detector(golden_reads):
+    sig = golden_reads["sim_0005_Escherichia_coli_3483_+"]
+    want = reference_events(sig)
+    got = detect_events_np(sig)
+    assert len(got["mean"]) == len(want["mean"])
+    assert np.array_equal(got["start"], want["start"])
+    assert np.array_equal(got["mean"], want["mean"])
+    assert np.array_equal(got["stdv"], want["stdv"])
+
+
+@needs_rig
+def test_oracle_matches_reference_detector_real_read(golden_reads):
+    sig = golden_reads["f41a60f7-de4a-4b17-9f54-387e52d60b65"]
+    want = reference_events(sig)
+    got = detect_events_np(sig)
+    assert len(got["mean"]) == len(want["mean"])
+    assert np.array_equal(got["mean"], want["mean"])
+
+
+def _run_jax_blocks(sig, block):
+    import jax.numpy as jnp
+
+    state = make_detector_state(1)
+    means, starts = [], []
+    n = (len(sig) // block) * block
+    for i in range(0, n, block):
+        state, out = detect_block(state, jnp.asarray(sig[None, i : i + block]))
+        f = np.asarray(out["fired"][0])
+        means.append(np.asarray(out["mean"][0])[f])
+        starts.append(np.asarray(out["start"][0])[f])
+    return np.concatenate(means), np.concatenate(starts), n
+
+
+@pytest.mark.parametrize("block", [512, 4096])
+def test_jax_detector_matches_oracle(golden_reads, block):
+    sig = golden_reads["sim_0008_Escherichia_coli_1891_+"]
+    want = detect_events_np(sig)
+    means, starts, n = _run_jax_blocks(sig, block)
+    # same events up to where the block stream ended
+    k = np.searchsorted(want["start"], n - 16)
+    k = min(k, len(means))
+    assert len(means) >= k
+    assert np.array_equal(starts[:k], want["start"][:k])
+    # f32 block-local prefix sums vs f64 global: tiny numeric slack
+    np.testing.assert_allclose(means[:k], want["mean"][:k], rtol=2e-5, atol=2e-3)
+
+
+def test_jax_detector_batch_consistency(golden_reads):
+    """Two different reads detected in one batch == each detected alone."""
+    import jax.numpy as jnp
+
+    a = golden_reads["sim_0008_Escherichia_coli_1891_+"][:4096]
+    b = golden_reads["noise_1"][:4096]
+    batch = np.stack([a, b])
+    state = make_detector_state(2)
+    _, out = detect_block(state, jnp.asarray(batch))
+    for i, sig in enumerate([a, b]):
+        solo_state = make_detector_state(1)
+        _, solo = detect_block(solo_state, jnp.asarray(sig[None]))
+        assert np.array_equal(
+            np.asarray(out["fired"][i]), np.asarray(solo["fired"][0])
+        )
+        fa = np.asarray(out["fired"][i])
+        np.testing.assert_array_equal(
+            np.asarray(out["mean"][i])[fa], np.asarray(solo["mean"][0])[fa]
+        )

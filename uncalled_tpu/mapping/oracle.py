@@ -200,7 +200,8 @@ class SeedTracker:
 class OracleMapper:
     """Maps one full-signal read at a time (batch mode, no profiler)."""
 
-    def __init__(self, fmi, model, prob_threshes: np.ndarray, conf: Conf = None):
+    def __init__(self, fmi, model, prob_threshes: np.ndarray, conf: Conf = None,
+                 collect_stats: bool = False):
         self.conf = conf or Conf()
         self.fmi = fmi
         self.model = model
@@ -209,6 +210,8 @@ class OracleMapper:
         self.seed_len = mp.seed_len
         self.path_mask = (1 << mp.seed_len) - 1
         self.tail_move = 1 << (mp.seed_len - 1)
+        self.collect_stats = collect_stats
+        self.stats = None
 
     def thresh_of(self, fmlen):
         return self.threshes[64 - int(fmlen).bit_length()]
@@ -252,6 +255,12 @@ class OracleMapper:
         norm_means = (scale * means.astype(F32) + shift).astype(F32)
 
         tracker = SeedTracker(conf.seed_tracker)
+        if self.collect_stats:
+            self.stats = {k: [] for k in
+                          ("paths", "cands", "sources", "seed_groups",
+                           "seed_rows", "clusters")}
+        self._evt_seed_groups = 0
+        self._evt_seed_rows = 0
 
         # path state arrays (structure-of-arrays over live paths)
         p_start = np.zeros(0, dtype=np.int64)
@@ -282,6 +291,8 @@ class OracleMapper:
             if not is_seed_valid(length, seedprob, en - st + 1, moves, ended):
                 return False
             mc = bin(int(moves)).count("1")
+            self._evt_seed_groups += 1
+            self._evt_seed_rows += int(en) - int(st) + 1
             for s in range(int(st), int(en) + 1):
                 sa_end = fmsize - int(fmi.sa_full[s])
                 tracker.add_seed(sa_end, mc, evt - int(ended))
@@ -420,6 +431,16 @@ class OracleMapper:
                 p_len = p_len[:0]; p_consec = p_consec[:0]
                 p_moves = p_moves[:0]; p_sa_checked = p_sa_checked[:0]
                 p_sums = p_sums[:0]; p_seedprob = p_seedprob[:0]
+
+            if self.collect_stats:
+                self.stats["paths"].append(len(keep))
+                self.stats["cands"].append(len(cands))
+                self.stats["sources"].append(len(sources))
+                self.stats["seed_groups"].append(self._evt_seed_groups)
+                self.stats["seed_rows"].append(self._evt_seed_rows)
+                self.stats["clusters"].append(len(tracker.clusters))
+            self._evt_seed_groups = 0
+            self._evt_seed_rows = 0
 
             # ---- decision ----
             sc = tracker.get_final()

@@ -211,19 +211,23 @@ def detect_events_np(
 
 def make_detector_state(B: int):
     """Initial streaming detector state for a batch of B read slots."""
+    import jax
     import jax.numpy as jnp
 
-    f32, i32 = jnp.float32, jnp.int32
+    jax.config.update("jax_enable_x64", True)
+    f32, f64, i32 = jnp.float32, jnp.float64, jnp.int32
     return {
         # per-detector state, stacked [2, B]: 0 = short, 1 = long
         "masked_to": jnp.zeros((2, B), i32),
         "peak_pos": jnp.full((2, B), -1, i32),
         "peak_value": jnp.full((2, B), FLT_MAX, f32),
         "valid_peak": jnp.zeros((2, B), bool),
-        # open event: start boundary (prefix idx) + running sums since start
+        # open event: start boundary (global prefix idx) + the global f64
+        # prefix sums at that boundary (reference keeps double prefix rings,
+        # event_detector.cpp:83-95; we carry their values instead)
         "evt_st": jnp.zeros((B,), i32),
-        "evt_sum": jnp.zeros((B,), f32),
-        "evt_sumsq": jnp.zeros((B,), f32),
+        "S_st": jnp.zeros((B,), f64),
+        "SQ_st": jnp.zeros((B,), f64),
         # index of the next sample to consume (global within read)
         "t": jnp.zeros((B,), i32),
         # totals over all created events (for mean_event_len)
@@ -231,8 +235,9 @@ def make_detector_state(B: int):
         "len_sum": jnp.zeros((B,), f32),
         # last TAIL raw samples (for cross-block t-stats)
         "tail": jnp.zeros((B, TAIL), f32),
-        # last DELAY+1 samples incl. current (ring for boundary lag)
-        "delay": jnp.zeros((B, DELAY + 1), f32),
+        # global prefix sums at position (t - TAIL): seeds the block prefixes
+        "S0": jnp.zeros((B,), f64),
+        "SQ0": jnp.zeros((B,), f64),
     }
 
 
@@ -252,52 +257,67 @@ def reset_detector_rows(state, mask):
     return out
 
 
-def _tstats_block(sig, tail, fresh):
-    """Vectorized t-stats for a [B, S] block given the [B, TAIL] carry.
+def _tstats_block(sig, tail, S0, SQ0, t_start):
+    """Vectorized t-stats for a [B, S] block given the carry.
 
-    fresh[B]: True when the slot starts a new read at this block (activates
-    the start-of-read wrap quirks). Returns (t1, t2) each [B, S] as seen at
-    each sample. Computed with block-local f32 prefix sums (stable; deviates
-    from the oracle's global-double arithmetic by ~1 ulp of the t-stat).
+    tail[B, TAIL]: last TAIL raw samples before this block; S0/SQ0[B]: global
+    f64 prefix sums at the tail start; t_start[B]: global index of the first
+    sample in this block (0 = start of read, activating the wrap quirks).
+
+    Returns (t1, t2, S1, SQ1): per-sample t-stats [B, S] (f32) and the padded
+    global f64 prefix arrays [B, TAIL+S+1]. The arithmetic replicates the
+    reference type choreography (event_detector.cpp:201-218) with global
+    double prefix sums, so results match the sequential oracle to within the
+    rounding of a parallel f64 cumsum (~1 ulp of f64; never observable after
+    the f32 round of the t-stat in practice).
     """
     import jax.numpy as jnp
 
     B, S = sig.shape
-    xs = jnp.concatenate([tail, sig.astype(jnp.float32)], axis=1)
-    zero = jnp.zeros((B, 1), jnp.float32)
-    S1 = jnp.concatenate([zero, jnp.cumsum(xs, axis=1)], axis=1)
-    S2 = jnp.concatenate([zero, jnp.cumsum(xs * xs, axis=1)], axis=1)
+    f32, f64 = jnp.float32, jnp.float64
+    xs32 = jnp.concatenate([tail, sig.astype(f32)], axis=1)
+    zero = jnp.zeros((B, 1), f64)
+    S1 = jnp.concatenate(
+        [zero, jnp.cumsum(xs32.astype(f64), axis=1)], axis=1
+    ) + S0[:, None]
+    # parity: square in f32, accumulate in f64 (event_detector.cpp:89)
+    SQ1 = jnp.concatenate(
+        [zero, jnp.cumsum((xs32 * xs32).astype(f64), axis=1)], axis=1
+    ) + SQ0[:, None]
 
     idx = jnp.arange(S)
+    tg = t_start[:, None] + idx[None, :]  # global sample index per slot
     res = []
     for w, tmin in ((W1, 2 * W1), (W2, 2 * W2)):
         m = idx + TAIL - 5  # prefix index within padded block
-        left = m - w
-        right = m + w
         g = lambda P, j: jnp.take(P, j, axis=1)
-        sum1 = g(S1, m) - g(S1, left)
-        sumsq1 = g(S2, m) - g(S2, left)
-        sum2 = g(S1, right) - g(S1, m)
-        sumsq2 = g(S2, right) - g(S2, m)
-        # start-of-read wrap quirk (m_global < w): left reads prefix m+2w.
-        # only applies to fresh slots; m_global = i - 5 there.
-        mg = idx - 5
-        wrap = fresh[:, None] & (mg >= 0)[None, :] & (mg < w)[None, :]
-        lw = m + 2 * w
-        sum1 = jnp.where(wrap, g(S1, m) - g(S1, lw), sum1)
-        sumsq1 = jnp.where(wrap, g(S2, m) - g(S2, lw), sumsq1)
-        wf = jnp.float32(w)
-        mean1 = sum1 / wf
-        mean2 = sum2 / wf
-        comb = sumsq1 / wf - mean1 * mean1 + sumsq2 / wf - mean2 * mean2
+        # start-of-read wrap quirk (0 <= m_global < w): left reads m+2w
+        mg = tg - 5
+        wrap = (mg >= 0) & (mg < w)
+        left = jnp.where(wrap, (m + 2 * w)[None, :], (m - w)[None, :])
+        pm = g(S1, m)
+        pqm = g(SQ1, m)
+        sum1 = pm - jnp.take_along_axis(S1, left, axis=1)  # f64
+        sumsq1 = pqm - jnp.take_along_axis(SQ1, left, axis=1)  # f64
+        sum2 = (g(S1, m + w) - pm).astype(f32)
+        sumsq2 = (g(SQ1, m + w) - pqm).astype(f32)
+        wf32 = f32(w)
+        wf64 = f64(w)
+        mean1 = (sum1 / wf64).astype(f32)
+        mean2 = sum2 / wf32
+        comb = (
+            sumsq1 / wf64
+            - (mean1 * mean1).astype(f64)
+            + (sumsq2 / wf32).astype(f64)
+            - (mean2 * mean2).astype(f64)
+        ).astype(f32)
         comb = jnp.maximum(comb, FLT_MIN)
-        t = jnp.abs(mean2 - mean1) / jnp.sqrt(comb / wf)
-        # zero when t_global <= 2w or boundary outside read start
-        # (for fresh slots; continuing slots always have full history)
-        tg = idx  # global sample index for fresh slots
-        invalid_fresh = fresh[:, None] & ((tg + 2) <= tmin)[None, :]
-        res.append(jnp.where(invalid_fresh, 0.0, t))
-    return res[0], res[1]
+        delta = mean2 - mean1  # f32
+        inner = comb / wf32  # f32
+        t = (jnp.abs(delta.astype(f64)) / jnp.sqrt(inner.astype(f64))).astype(f32)
+        # zero when t_global <= 2w (reference: t <= 2w -> 0)
+        res.append(jnp.where((tg + 2) <= tmin, f32(0.0), t))
+    return res[0], res[1], S1, SQ1
 
 
 def detect_block(state, sig):
@@ -312,14 +332,19 @@ def detect_block(state, sig):
     import jax.numpy as jnp
 
     B, S = sig.shape
-    fresh = state["t"] == 0
-    t1, t2 = _tstats_block(sig, state["tail"], fresh)
-    xs = sig.astype(jnp.float32)
+    assert S >= 2 * TAIL, "block too small for the t-stat window carry"
+    t1, t2, S1, SQ1 = _tstats_block(
+        sig, state["tail"], state["S0"], state["SQ0"], state["t"]
+    )
+    # global f64 prefix values at the event boundary en = i - 7 per sample
+    en_idx = jnp.arange(S) + TAIL - 7
+    S_en = jnp.take(S1, en_idx, axis=1)
+    SQ_en = jnp.take(SQ1, en_idx, axis=1)
 
     def step(carry, inp):
-        (mask_to, peak_pos, peak_val, valid, evt_st, evt_sum, evt_sumsq,
-         t, total_events, len_sum, delay) = carry
-        t1i, t2i, x = inp
+        (mask_to, peak_pos, peak_val, valid, evt_st, s_st, sq_st,
+         t, total_events, len_sum) = carry
+        t1i, t2i, s_en, sq_en = inp
 
         m = t - 5  # boundary evaluated at this sample (int32, can be < 0)
         # u32-wrap compare: m<0 behaves as huge -> detector active
@@ -374,54 +399,51 @@ def detect_block(state, sig):
 
         fired = p1 | p2
 
-        # running sums include current sample
-        evt_sum = evt_sum + x
-        evt_sumsq = evt_sumsq + x * x
-        delay = jnp.concatenate([delay[:, 1:], x[:, None]], axis=1)
-
-        # on fire: event covers [evt_st, en) with en = m - 2 (prefix index);
-        # the last DELAY samples (incl. current) are excluded -> subtract the
-        # delay line, which holds exactly those samples.
-        tail_sum = delay.sum(axis=1)
-        tail_sumsq = (delay * delay).sum(axis=1)
+        # on fire: event covers [evt_st, en) with en = m - 2; stats from the
+        # global f64 prefix sums, rounded exactly like create_event
+        # (event_detector.cpp:296-319 via the oracle's type choreography)
+        f32, f64 = jnp.float32, jnp.float64
         en = m - 2
-        length = (en - evt_st).astype(jnp.float32)
-        e_sum = evt_sum - tail_sum
-        e_sumsq = evt_sumsq - tail_sumsq
-        mean = e_sum / jnp.maximum(length, 1.0)
-        var = e_sumsq / jnp.maximum(length, 1.0) - mean * mean
-        stdv = jnp.sqrt(jnp.maximum(var, 0.0))
+        length = (en - evt_st).astype(f32)
+        lsafe = jnp.maximum(length, f32(1.0))
+        mean = ((s_en - s_st) / lsafe.astype(f64)).astype(f32)
+        deltasqr = (sq_en - sq_st).astype(f32)
+        var = deltasqr / lsafe - mean * mean
+        stdv = jnp.sqrt(jnp.maximum(var, f32(0.0)))
 
         keep = fired & (mean >= MIN_MEAN) & (mean <= MAX_MEAN)
         out = (keep, mean, stdv, evt_st, length)
 
         total_events = total_events + fired
-        len_sum = len_sum + jnp.where(fired, length, 0.0)
+        len_sum = len_sum + jnp.where(fired, length, f32(0.0))
         evt_st = jnp.where(fired, en, evt_st)
-        evt_sum = jnp.where(fired, tail_sum, evt_sum)
-        evt_sumsq = jnp.where(fired, tail_sumsq, evt_sumsq)
+        s_st = jnp.where(fired, s_en, s_st)
+        sq_st = jnp.where(fired, sq_en, sq_st)
 
-        carry = (mask_to, peak_pos, peak_val, valid, evt_st, evt_sum,
-                 evt_sumsq, t + 1, total_events, len_sum, delay)
+        carry = (mask_to, peak_pos, peak_val, valid, evt_st, s_st, sq_st,
+                 t + 1, total_events, len_sum)
         return carry, out
 
     init = (
         state["masked_to"], state["peak_pos"], state["peak_value"],
-        state["valid_peak"], state["evt_st"], state["evt_sum"],
-        state["evt_sumsq"], state["t"], state["total_events"],
-        state["len_sum"], state["delay"],
+        state["valid_peak"], state["evt_st"], state["S_st"],
+        state["SQ_st"], state["t"], state["total_events"], state["len_sum"],
     )
-    ins = (t1.T, t2.T, xs.T)  # [S, B] each
+    ins = (t1.T, t2.T, S_en.T, SQ_en.T)  # [S, B] each
     carry, outs = jax.lax.scan(step, init, ins)
-    (mask_to, peak_pos, peak_val, valid, evt_st, evt_sum, evt_sumsq,
-     t, total_events, len_sum, delay) = carry
+    (mask_to, peak_pos, peak_val, valid, evt_st, s_st, sq_st,
+     t, total_events, len_sum) = carry
 
+    xs = sig.astype(jnp.float32)
     state_out = dict(state)
     state_out.update(
         masked_to=mask_to, peak_pos=peak_pos, peak_value=peak_val,
-        valid_peak=valid, evt_st=evt_st, evt_sum=evt_sum, evt_sumsq=evt_sumsq,
-        t=t, total_events=total_events, len_sum=len_sum, delay=delay,
+        valid_peak=valid, evt_st=evt_st, S_st=s_st, SQ_st=sq_st,
+        t=t, total_events=total_events, len_sum=len_sum,
         tail=jnp.concatenate([state["tail"], xs], axis=1)[:, -TAIL:],
+        # prefix carry advances to position (t_new - TAIL) = padded index S
+        S0=S1[:, S],
+        SQ0=SQ1[:, S],
     )
     fired, mean, stdv, start, length = outs
     out = {
