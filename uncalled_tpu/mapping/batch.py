@@ -1,0 +1,161 @@
+"""Host orchestration for batch mapping: reads -> events -> engine -> PAF.
+
+Replaces the reference's MapPool thread model (map_pool.cpp:28-158) with
+slot-based batched dispatch: B device read slots advance T events per jitted
+step; finished slots are harvested and refilled from the read queue (the
+divergent-lifecycle strategy from SURVEY.md §7).
+
+Event detection + global normalization run on host with the sequential-parity
+implementations (the reference normalizes whole batch reads the same way:
+Normalizer::set_signal via mapper.cpp:188-200), then only normalized f32
+event means cross to the device.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..config import Conf
+from ..kmer import K
+from ..ops.events import detect_events_np
+from .engine import MapEngine
+from .paf import Paf, Tag
+
+F32 = np.float32
+F64 = np.float64
+
+
+def normalize_events(means: np.ndarray, tgt_mean: float, tgt_stdv: float):
+    """Global z-score onto the model distribution; f64 accumulation in
+    sequential order like the reference (normalizer.cpp:46-118 via the
+    oracle; np.cumsum is a sequential reduction, so the sum order matches).
+    """
+    n = len(means)
+    if n == 0:
+        return means.astype(F32), F32(1), F32(0)
+    m64 = means.astype(F64)
+    gmean = np.cumsum(m64)[-1] / n
+    varsum = np.cumsum((m64 - gmean) ** 2)[-1]
+    scale = F32(tgt_stdv / np.sqrt(varsum / n))
+    shift = F32(tgt_mean - scale * gmean)
+    return (scale * means.astype(F32) + shift).astype(F32), scale, shift
+
+
+@dataclass
+class _Slot:
+    read: object = None
+    means: np.ndarray = None  # normalized event means
+    fed: int = 0  # events fed to the device so far
+    mean_evt_len: np.float32 = F32(0)
+
+
+class BatchMapper:
+    """Map an iterable of reads, yielding Paf records (order of completion)."""
+
+    def __init__(self, fmi, model, threshes, conf: Conf | None = None, **over):
+        self.conf = conf or Conf()
+        self.eng = MapEngine(fmi, model, threshes, self.conf, **over)
+        self.fmi = fmi
+        self.T = self.conf.engine.evt_block
+
+    # ------------------------------------------------------------- events
+    def _prepare(self, read) -> _Slot:
+        ed = self.conf.event_detector
+        ev = detect_events_np(read.signal, ed.min_mean, ed.max_mean)
+        if ev["total_events"] > 0:
+            mel = F32(ev["len_sum"]) / F32(ev["total_events"])
+        else:
+            mel = F32(0)
+        norm, _, _ = normalize_events(
+            ev["mean"], self.conf.normalizer.tgt_mean, self.conf.normalizer.tgt_stdv
+        )
+        cap = self.conf.mapper.max_events
+        return _Slot(read=read, means=norm[:cap], fed=0, mean_evt_len=mel)
+
+    # ---------------------------------------------------------------- paf
+    def _event_to_bp(self, evt_i, mel, last=False):
+        # parity with mapper.cpp:703-706 (u32 wrap + f32 multiply chain)
+        e = np.uint32(np.int64(int(evt_i)) & 0xFFFFFFFF)
+        bp_per_samp = F32(self.conf.reads.bp_per_samp)
+        v = F32(F32(F32(e) * mel) * bp_per_samp) + F32(int(last) * (K - 1))
+        return int(v)
+
+    def _finalize(self, slot: _Slot, ro, b) -> Paf:
+        read = slot.read
+        paf = Paf(rd_name=read.id)
+        paf.set_int(Tag.CHANNEL, read.channel)
+        paf.set_int(Tag.READ_START, read.start_sample)
+        paf.rd_len = int(F32(F32(read.raw_len) * F32(self.conf.reads.bp_per_samp)))
+        if not ro["success"][b]:
+            return paf
+
+        mel = slot.mean_evt_len
+        ref_st = int(ro["mm_ref_st"][b])
+        ref_en_end = int(ro["mm_r2e"][b])
+        evt_st = int(ro["mm_evt_st"][b])
+        evt_en = int(ro["mm_evt_en"][b])
+        total_len = int(ro["mm_len"][b])
+        event_i = int(ro["dec_evt"][b])
+
+        fwd = ref_st < self.fmi.n // 2
+        sa_st = ref_st if fwd else self.fmi.n - (ref_en_end + K - 1)
+        rd_st = self._event_to_bp(evt_st - self.conf.mapper.seed_len, mel)
+        rd_en = self._event_to_bp(evt_en, mel, True)
+        rd_len = self._event_to_bp(event_i, mel, True)
+        rf_name, rf_st, rf_len = self.fmi.translate_loc(sa_st)
+        rf_en = rf_st + (ref_en_end - ref_st + K)
+        paf.rd_len = rd_len
+        paf.set_mapped(
+            rd_st, rd_en, rf_name, rf_st, rf_en, rf_len, fwd, total_len + K - 1
+        )
+        return paf
+
+    # --------------------------------------------------------------- main
+    def map_reads(self, reads):
+        """Generator over Paf results; `reads` is any iterable of Read-likes."""
+        B, T = self.eng.params.B, self.T
+        it = iter(reads)
+        slots = [None] * B
+        state = self.eng.fresh_state()
+        pending = 0
+
+        def refill(state):
+            nonlocal pending
+            mask = np.zeros(B, bool)
+            for b in range(B):
+                if slots[b] is None:
+                    try:
+                        r = next(it)
+                    except StopIteration:
+                        continue
+                    slots[b] = self._prepare(r)
+                    mask[b] = True
+                    pending += 1
+            if mask.any():
+                state = self.eng.reset_slots(state, mask)
+            return state
+
+        state = refill(state)
+        while pending:
+            means = np.zeros((B, T), np.float32)
+            on = np.zeros((B, T), bool)
+            for b, s in enumerate(slots):
+                if s is None:
+                    continue
+                nxt = s.means[s.fed : s.fed + T]
+                means[b, : len(nxt)] = nxt
+                on[b, : len(nxt)] = True
+                s.fed += len(nxt)
+            state = self.eng.advance(state, means, on)
+            ro = self.eng.readout(state)
+            for b, s in enumerate(slots):
+                if s is None:
+                    continue
+                exhausted = s.fed >= len(s.means)
+                if ro["done"][b] or exhausted:
+                    yield self._finalize(s, ro, b)
+                    slots[b] = None
+                    pending -= 1
+            state = refill(state)

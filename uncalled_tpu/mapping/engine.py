@@ -1,0 +1,824 @@
+"""Batched, fixed-shape device mapping engine (the TPU compute path).
+
+This is the reference Mapper's seed-and-extend state machine
+(mapper.cpp:433-663) re-architected for SPMD hardware: instead of one
+sequential state machine per thread, a single jitted program advances B reads
+through one event per step, with every irregular structure re-expressed under
+a fixed budget + validity mask:
+
+  * live paths        -> [B, P]  slot arrays (reference: std::vector<PathBuffer>
+                         capped at max_paths, mapper.cpp:83-86)
+  * candidate children-> [B, C]  compacted by exclusive-cumsum scatter in
+                         *creation order*, so budget overflow drops the same
+                         late candidates the reference's budget does
+                         (mapper.cpp:455-520)
+  * sort + dedup      -> lax.sort by (fm_start, fm_end, seed_prob) then
+                         neighbor compare (reference pdqsort + dedup,
+                         mapper.cpp:527-624)
+  * source creation   -> segmented cummax over the sorted candidates (the
+                         reference's `unchecked_ranges` walk, mapper.cpp:544-597)
+  * seed SA lookups   -> fixed [B, R] row budget, expanded from seed groups
+                         via vmapped searchsorted
+  * SeedTracker       -> fixed [B, CL] cluster table updated by a masked
+                         argmax match (seed_tracker.cpp:157-232); the
+                         break-early condition of the reference scan is
+                         provably disjoint from the match predicate for
+                         evt_st >= 1 (r2-r1 >= e2 contradicts
+                         r2-r1 <= e2-e1), so it is dropped
+  * per-read lifecycle-> done mask + host-side slot refill (the reference's
+                         RealtimePool channel model, realtime_pool.cpp:48)
+
+Numerics: match probs evaluate through f64 exactly like the reference
+(pore_model.hpp:163-165) — on TPU this is emulated but tiny ([B,1024] per
+event).  Seed-prob window sums use a 23-slot ring of *cumulative* sums so the
+f32 additions are the same operations as the reference's sums_ array
+(mapper.cpp:768-807), making the whole step bit-reproducible against the
+sequential oracle given the same event stream.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..config import Conf
+from ..kmer import KMER_COUNT
+
+INT32_MAX = np.int32(2**31 - 1)
+
+
+def _jnp():
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    return jnp
+
+
+@dataclass(frozen=True)
+class EngineParams:
+    """Static (compile-time) parameters of the device engine."""
+
+    B: int = 64  # read slots
+    P: int = 1024  # path budget per read
+    C: int = 1024  # candidate budget per event (pre-dedup children)
+    R: int = 48  # seed SA-row budget per event
+    CL: int = 128  # seed-cluster table capacity
+    # mapper params (defaults.toml [mapper] via Conf)
+    seed_len: int = 22
+    min_rep_len: int = 0
+    max_rep_copy: int = 50
+    max_consec_stay: int = 8
+    max_stay_frac: float = 0.5
+    min_seed_prob: float = -3.75
+    # seed_tracker params
+    min_aln_len: int = 25
+    min_mean_conf: float = 6.0
+    min_top_conf: float = 1.85
+    # parity: evaluate match probs through f64 like the reference
+    exact_probs: bool = True
+
+    @staticmethod
+    def from_conf(conf: Conf, **over) -> "EngineParams":
+        mp, st, en = conf.mapper, conf.seed_tracker, conf.engine
+        kw = dict(
+            B=en.batch_reads,
+            P=en.max_paths,
+            seed_len=mp.seed_len,
+            min_rep_len=mp.min_rep_len,
+            max_rep_copy=mp.max_rep_copy,
+            max_consec_stay=mp.max_consec_stay,
+            max_stay_frac=mp.max_stay_frac,
+            min_seed_prob=mp.min_seed_prob,
+            min_aln_len=st.min_aln_len,
+            min_mean_conf=st.min_mean_conf,
+            min_top_conf=st.min_top_conf,
+        )
+        kw.update(over)
+        return EngineParams(**kw)
+
+
+def device_index(fmi, threshes, model):
+    """Static device arrays for one index + model + threshold preset."""
+    jnp = _jnp()
+    return {
+        "bwt_words": jnp.asarray(fmi.bwt_words, dtype=jnp.uint32),
+        "ckpt": jnp.asarray(fmi.ckpt, dtype=jnp.int32),
+        "sa": jnp.asarray(fmi.sa_full, dtype=jnp.int32),
+        "kmer_st": jnp.asarray(fmi.kmer_ranges[:, 0], dtype=jnp.int32),
+        "kmer_en": jnp.asarray(fmi.kmer_ranges[:, 1], dtype=jnp.int32),
+        "L2": jnp.asarray(fmi.L2, dtype=jnp.int32),
+        "threshes": jnp.asarray(threshes, dtype=jnp.float32),
+        "means": jnp.asarray(model.means, dtype=jnp.float32),
+        "vars_x2": jnp.asarray(model.vars_x2, dtype=jnp.float32),
+        "lognorm": jnp.asarray(model.lognorm_denoms, dtype=jnp.float32),
+        # static scalars (python ints -> compile-time constants)
+        "n": int(fmi.n),
+        "primary": int(fmi.primary),
+    }
+
+
+def make_state(p: EngineParams):
+    """Fresh engine state for B empty read slots."""
+    jnp = _jnp()
+    i32, f32 = jnp.int32, jnp.float32
+    B, P, CL = p.B, p.P, p.CL
+    z = lambda *s: jnp.zeros(s, i32)
+    return {
+        # path table
+        "p_start": z(B, P),
+        "p_end": z(B, P),
+        "p_kmer": z(B, P),
+        "p_total": z(B, P),  # probs accumulated since birth; 0 = empty slot
+        "p_consec": z(B, P),
+        "p_moves": z(B, P),
+        "p_sa": jnp.zeros((B, P), bool),
+        "p_cum": jnp.zeros((B, P, p.seed_len + 1), f32),  # cumulative-sum ring
+        # seed-cluster table
+        "cl_valid": jnp.zeros((B, CL), bool),
+        "cl_ref_st": z(B, CL),
+        "cl_r1": z(B, CL),  # ref_en range start
+        "cl_r2e": z(B, CL),  # ref_en range end
+        "cl_evt_st": z(B, CL),
+        "cl_evt_en": z(B, CL),
+        "cl_total": z(B, CL),
+        # tracker scalars
+        "len_sum": jnp.zeros((B,), f32),
+        "n_cl": z(B),
+        # max_map snapshot (best confident cluster)
+        "mm_len": z(B),
+        "mm_ref_st": z(B),
+        "mm_r1": z(B),
+        "mm_r2e": z(B),
+        "mm_evt_st": z(B),
+        "mm_evt_en": z(B),
+        # per-read lifecycle
+        "evt_i": z(B),  # events consumed so far
+        "done": jnp.ones((B,), bool),  # empty slots start done
+        "success": jnp.zeros((B,), bool),
+        "dec_evt": z(B),  # event index at decision
+    }
+
+
+def reset_rows(state, mask):
+    """Reset read slots where mask[B] is True (keeps done=False there)."""
+    jnp = _jnp()
+    fresh = None
+    out = {}
+    for k, v in state.items():
+        if fresh is None:
+            fresh = make_state(
+                EngineParams(
+                    B=v.shape[0],
+                    P=state["p_start"].shape[1],
+                    CL=state["cl_valid"].shape[1],
+                    seed_len=state["p_cum"].shape[2] - 1,
+                )
+            )
+        m = mask
+        while m.ndim < v.ndim:
+            m = m[..., None]
+        out[k] = jnp.where(m, fresh[k], v)
+    out["done"] = jnp.where(mask, False, state["done"])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# device FM-index primitives
+# ---------------------------------------------------------------------------
+
+_EVEN = 0x55555555
+
+
+def _occ(idx, k, c):
+    """# occurrences of base c in BWT rows [0, k] (BWA bwt_occ semantics:
+    k<0 -> 0, k>=n -> full count, rows >= primary shift by one because the
+    sentinel is not stored). Vectorized over arbitrary-shaped k/c (int32)."""
+    jnp = _jnp()
+    i32, u32 = jnp.int32, jnp.uint32
+    n, primary = idx["n"], idx["primary"]
+
+    is_neg = k < 0
+    is_full = k >= n
+    kk = jnp.where(k >= primary, k - 1, k)
+    kk = jnp.clip(kk, 0, n - 1)
+
+    blk = kk >> 5  # 32 bases per checkpoint
+    base_cnt = idx["ckpt"][blk, c]
+
+    rem = kk & 31
+    w0 = blk << 1
+    pat = (c.astype(u32) * u32(_EVEN)).astype(u32)
+
+    def count_word(w, inc):
+        x = idx["bwt_words"][w] ^ pat
+        m = (~x) & ((~x) >> u32(1)) & u32(_EVEN)
+        # include the first `inc` (MSB-first) bases of the word
+        full = inc >= 16
+        none = inc <= 0
+        sh = (u32(16) - jnp.clip(inc, 0, 16).astype(u32)) * u32(2)
+        pm = jnp.where(none, u32(0), u32(0xFFFFFFFF) << sh)
+        pm = jnp.where(full, u32(0xFFFFFFFF), pm)
+        import jax
+
+        return jax.lax.population_count(m & pm).astype(i32)
+
+    cnt = count_word(w0, rem + 1) + count_word(w0 + 1, rem - 15)
+
+    out = base_cnt + cnt
+    full_cnt = idx["L2"][c + 1] - idx["L2"][c]
+    out = jnp.where(is_full, full_cnt, out)
+    out = jnp.where(is_neg, 0, out)
+    return out
+
+
+def _extend(idx, start, end, base):
+    """Backward-extend FM intervals (bwa_index.hpp:158-162)."""
+    os_ = _occ(idx, start - 1, base)
+    oe = _occ(idx, end, base)
+    L2b = idx["L2"][base]
+    return L2b + os_ + 1, L2b + oe
+
+
+def _fm_bin(fmlen):
+    """64 - bit_length(fmlen): the clz-based threshold bin (mapper.cpp:161-167).
+    Exact integer version (bit smear + popcount)."""
+    import jax
+
+    jnp = _jnp()
+    x = jnp.maximum(fmlen, 1).astype(jnp.uint32)
+    x |= x >> 1
+    x |= x >> 2
+    x |= x >> 4
+    x |= x >> 8
+    x |= x >> 16
+    return 64 - jax.lax.population_count(x).astype(jnp.int32)
+
+
+def _match_probs(idx, ev, exact):
+    """[B,1024] log match probs with the reference's f32/f64 choreography
+    (pore_model.hpp:163-165 via the oracle's match_probs_exact)."""
+    jnp = _jnp()
+    f32, f64 = jnp.float32, jnp.float64
+    d = (ev[:, None].astype(f32) - idx["means"][None, :]).astype(f32)
+    if exact:
+        d64 = d.astype(f64)
+        return (
+            -(d64 * d64) / idx["vars_x2"].astype(f64) - idx["lognorm"].astype(f64)
+        ).astype(f32)
+    return -(d * d) / idx["vars_x2"] - idx["lognorm"]
+
+
+# ---------------------------------------------------------------------------
+# seed tracker (vectorized SeedTracker::add_seed, seed_tracker.cpp:157-232)
+# ---------------------------------------------------------------------------
+
+def _tracker_add(p: EngineParams, st, ref_en, mc, evt, row_ok):
+    """Add one seed row per read (all [B] scalars) to the cluster tables."""
+    import jax
+
+    jnp = _jnp()
+    i32, f32 = jnp.int32, jnp.float32
+    NEG = jnp.int32(-(2**30))
+
+    r2 = ref_en - mc + 1  # new.ref_en_start
+    r2e = ref_en  # new.ref_en_end
+    e2 = evt
+
+    v = st["cl_valid"]
+    r1 = st["cl_r1"]
+    e1 = st["cl_evt_en"]
+    tot = st["cl_total"]
+
+    considered = v & (
+        (r1 < r2[:, None]) | ((r1 == r2[:, None]) & (e1 <= e2[:, None]))
+    )
+    dr = r2[:, None] - r1
+    de = e2[:, None] - e1
+    in_range = (e1 <= e2[:, None]) & (dr <= de) & (dr >= de // 12)
+    elig = considered & in_range
+
+    # choose the match the reference scan picks: max total_len, ties -> the
+    # earliest scanned = largest r1, then largest evt_en
+    m1 = jnp.max(jnp.where(elig, tot, NEG), axis=1)
+    t1 = elig & (tot == m1[:, None])
+    m2 = jnp.max(jnp.where(t1, r1, NEG), axis=1)
+    t2 = t1 & (r1 == m2[:, None])
+    m3 = jnp.max(jnp.where(t2, e1, NEG), axis=1)
+    t3 = t2 & (e1 == m3[:, None])
+    any_match = jnp.any(elig, axis=1) & row_ok
+    match_idx = jnp.argmax(t3, axis=1)  # first True
+
+    CL = v.shape[1]
+    onehot = (
+        jax.lax.broadcasted_iota(i32, (1, CL), 1) == match_idx[:, None]
+    ) & any_match[:, None]
+
+    # SeedCluster::update (seed_tracker.cpp:56-73)
+    a_r2e = st["cl_r2e"]
+    overlaps = r2[:, None] < a_r2e
+    grows = r2e[:, None] > a_r2e
+    growth = jnp.where(
+        overlaps, jnp.where(grows, r2e[:, None] - a_r2e, 0), mc[:, None]
+    )
+    new_r1 = jnp.where(onehot, r2[:, None], r1)
+    new_r2e = jnp.where(onehot & (grows | ~overlaps), r2e[:, None], a_r2e)
+    new_e1 = jnp.where(onehot, e2[:, None], e1)
+    new_tot = jnp.where(onehot, tot + growth, tot)
+    upd_len = jnp.sum(jnp.where(onehot, growth, 0), axis=1)  # growth of match
+
+    # insertion of a fresh cluster when no match: pick a free slot, else evict
+    # the smallest cluster (approximation of the reference's unbounded set)
+    do_insert = row_ok & ~any_match
+    free = ~v
+    evict_key = jnp.where(free, NEG, tot)  # prefer free, else min length
+    ins_idx = jnp.argmin(evict_key, axis=1)
+    ins1h = (
+        jax.lax.broadcasted_iota(i32, (1, CL), 1) == ins_idx[:, None]
+    ) & do_insert[:, None]
+    evicted_len = jnp.sum(jnp.where(ins1h & v, tot, 0), axis=1)
+    evicted_n = jnp.sum(jnp.where(ins1h & v, 1, 0), axis=1)
+
+    out = dict(st)
+    out["cl_valid"] = v | ins1h
+    out["cl_r1"] = jnp.where(ins1h, r2[:, None], new_r1)
+    out["cl_r2e"] = jnp.where(ins1h, r2e[:, None], new_r2e)
+    out["cl_ref_st"] = jnp.where(ins1h, r2[:, None], st["cl_ref_st"])
+    out["cl_evt_st"] = jnp.where(ins1h, e2[:, None], st["cl_evt_st"])
+    out["cl_evt_en"] = jnp.where(ins1h, e2[:, None], new_e1)
+    out["cl_total"] = jnp.where(ins1h, mc[:, None], new_tot)
+
+    out["len_sum"] = (
+        st["len_sum"]
+        + jnp.where(any_match, upd_len, 0).astype(f32)
+        + jnp.where(do_insert, mc, 0).astype(f32)
+        - evicted_len.astype(f32)
+    )
+    out["n_cl"] = st["n_cl"] + jnp.where(do_insert, 1, 0) - evicted_n
+
+    # max_map: replace when a cluster's length changed and exceeds it
+    # (reference updates only on total_len change; growth==0 updates skip)
+    cand_len = jnp.where(any_match, jnp.sum(jnp.where(onehot, new_tot, 0), axis=1),
+                         jnp.where(do_insert, mc, NEG))
+    changed = jnp.where(any_match, upd_len > 0, do_insert)
+    better = changed & (cand_len >= p.min_aln_len) & (cand_len > st["mm_len"])
+
+    src = {
+        "mm_len": cand_len,
+        "mm_ref_st": jnp.where(
+            any_match,
+            jnp.sum(jnp.where(onehot, out["cl_ref_st"], 0), axis=1), r2),
+        "mm_r1": jnp.where(
+            any_match, jnp.sum(jnp.where(onehot, out["cl_r1"], 0), axis=1), r2),
+        "mm_r2e": jnp.where(
+            any_match, jnp.sum(jnp.where(onehot, out["cl_r2e"], 0), axis=1), r2e),
+        "mm_evt_st": jnp.where(
+            any_match,
+            jnp.sum(jnp.where(onehot, out["cl_evt_st"], 0), axis=1), e2),
+        "mm_evt_en": jnp.where(
+            any_match,
+            jnp.sum(jnp.where(onehot, out["cl_evt_en"], 0), axis=1), e2),
+    }
+    for k2, val in src.items():
+        out[k2] = jnp.where(better, val, st[k2])
+    # pin dtypes (x64 mode weak-promotes python int literals to i64)
+    for k2, val in out.items():
+        if val.dtype != st[k2].dtype:
+            out[k2] = val.astype(st[k2].dtype)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# per-event step (the batched map_next, mapper.cpp:433-663)
+# ---------------------------------------------------------------------------
+
+def _event_step(idx, p: EngineParams, st, ev, ev_on):
+    import jax
+
+    jnp = _jnp()
+    i32, f32 = jnp.int32, jnp.float32
+    B, P, C, R, SL = p.B, p.P, p.C, p.R, p.seed_len
+    KMASK = KMER_COUNT - 1
+    PATH_MASK = (1 << SL) - 1
+    TAIL_MOVE = 1 << (SL - 1)
+    RING = SL + 1
+    n = idx["n"]
+
+    alive = (~st["done"]) & ev_on
+    probs = _match_probs(idx, ev, p.exact_probs)  # [B, 1024]
+    take = lambda tbl, ix: jnp.take_along_axis(tbl, ix, axis=1)
+
+    # ---- candidate flags in creation order (stay, then moves A..T) ----
+    pv = st["p_total"] > 0
+    fmlen = st["p_end"] - st["p_start"] + 1
+    thresh = idx["threshes"][_fm_bin(fmlen)]
+    stay_p = take(probs, st["p_kmer"])
+    stay_f = pv & (st["p_consec"] < p.max_consec_stay) & (stay_p >= thresh)
+    nk4 = ((st["p_kmer"][:, :, None] << 2) & KMASK) | jnp.arange(4, dtype=i32)
+    mv_p = take(probs, nk4.reshape(B, P * 4)).reshape(B, P, 4)
+    mv_f = pv[:, :, None] & (mv_p >= thresh[:, :, None])
+    flags = jnp.concatenate([stay_f[:, :, None], mv_f], axis=2)  # [B,P,5]
+
+    # ---- compact to C candidate slots in creation order ----
+    flat = flags.reshape(B, P * 5)
+    pos = jnp.cumsum(flat, axis=1, dtype=i32) - flat
+    sel = flat & (pos < C)
+    dest = jnp.where(sel, pos, C)
+    code = jax.lax.broadcasted_iota(i32, (B, P * 5), 1)
+    bidx = jax.lax.broadcasted_iota(i32, (B, P * 5), 0)
+    cand = jnp.full((B, C + 1), -1, i32).at[bidx, dest].set(
+        jnp.where(sel, code, -1), mode="drop"
+    )[:, :C]
+    cval = cand >= 0
+    cpar = jnp.where(cval, cand // 5, 0)
+    move = jnp.where(cval, cand % 5, 0)  # 0 = stay, 1..4 = move base+1
+
+    # ---- gather parent state, FM-extend the moves ----
+    cs = take(st["p_start"], cpar)
+    ce = take(st["p_end"], cpar)
+    ck = take(st["p_kmer"], cpar)
+    ctot = take(st["p_total"], cpar)
+    ccons = take(st["p_consec"], cpar)
+    cmvs = take(st["p_moves"], cpar)
+    csa = take(st["p_sa"], cpar)
+    cring = jnp.take_along_axis(st["p_cum"], cpar[:, :, None], axis=1)  # [B,C,RING]
+    ccum = jnp.take_along_axis(cring, (ctot % RING)[:, :, None], axis=2)[:, :, 0]
+
+    is_mv = move >= 1
+    base = jnp.clip(move - 1, 0, 3)
+    nk = jnp.where(is_mv, ((ck << 2) & KMASK) | base, ck)
+    ns_m, ne_m = _extend(idx, cs, ce, base)
+    ns = jnp.where(is_mv, ns_m, cs)
+    ne = jnp.where(is_mv, ne_m, ce)
+    cvalid = cval & ((~is_mv) | (ns <= ne))
+
+    prob = take(probs, nk)
+    new_tot = ctot + 1
+    newcum = ccum + prob  # f32, same op order as sums_[l] = sums_[l-1]+prob
+    wslot = jnp.where(new_tot >= SL, (new_tot - SL) % RING, 0)
+    wstart = jnp.take_along_axis(cring, wslot[:, :, None], axis=2)[:, :, 0]
+    seedprob = jnp.where(
+        new_tot >= SL,
+        (newcum - wstart) / f32(SL),
+        newcum / new_tot.astype(f32),
+    )
+    nmoves = ((cmvs << 1) | is_mv.astype(i32)) & PATH_MASK
+    nmoves = jnp.where(ctot >= SL, nmoves | TAIL_MOVE, nmoves)
+    nconsec = jnp.where(is_mv, 0, ccons + 1)
+
+    # ---- ended parents (no children, not yet reported; mapper.cpp:513-519)
+    # a child only counts if its FM extension is valid (mapper.cpp:486-510:
+    # invalid ranges are discarded before child_found is set), so scatter the
+    # post-extension validity back to the parents
+    bcC = jax.lax.broadcasted_iota(i32, (B, C), 0)
+    child_any = (
+        jnp.zeros((B, P), i32).at[bcC, cpar].add(cvalid.astype(i32), mode="drop")
+        > 0
+    )
+    pmc = jax.lax.population_count(st["p_moves"]).astype(i32)
+    pseedprob = _path_seedprob(p, st)
+    ended = pv & (~child_any) & (~st["p_sa"]) & alive[:, None]
+    e_rep = (fmlen <= p.max_rep_copy) & (pmc >= p.min_rep_len)
+    e_unique = (
+        (fmlen == 1)
+        & ((st["p_moves"] & 1) == 1)
+        & ((SL - pmc) <= p.max_stay_frac * SL)
+    )
+    e_valid = (
+        ended
+        & (jnp.minimum(st["p_total"], SL) == SL)
+        & (pseedprob >= p.min_seed_prob)
+        & (e_unique | e_rep)
+    )
+    e_rows = jnp.where(e_valid, jnp.minimum(fmlen, p.max_rep_copy), 0)
+
+    # ---- sort candidates by (fm_start, fm_end, seed_prob) + dedup ----
+    k1 = jnp.where(cvalid, ns, INT32_MAX)
+    k2 = jnp.where(cvalid, ne, INT32_MAX)
+    iota_c = jax.lax.broadcasted_iota(i32, (B, C), 1)
+    k1s, k2s, k3s, perm = jax.lax.sort(
+        (k1, k2, seedprob, iota_c), dimension=1, num_keys=3
+    )
+    gs = lambda a: take(a, perm)
+    svalid = k1s != INT32_MAX
+    ns_s, ne_s = k1s, k2s
+    nk_s = gs(nk)
+    prob_s = gs(prob)
+    newcum_s = gs(newcum)
+    seedprob_s = k3s
+    ntot_s = gs(new_tot)
+    nmoves_s = gs(nmoves)
+    ncons_s = gs(nconsec)
+    csa_s = gs(csa)
+    cring_s = jnp.take_along_axis(cring, perm[:, :, None], axis=1)
+
+    nxt = lambda a, fill: jnp.concatenate(
+        [a[:, 1:], jnp.full((B, 1), fill, a.dtype)], axis=1
+    )
+    dup = (
+        svalid
+        & nxt(svalid, False)
+        & (ns_s == nxt(ns_s, -1))
+        & (ne_s == nxt(ne_s, -1))
+    )
+
+    # ---- candidate seed validity (non-ended branch of is_seed_valid) ----
+    smc = jax.lax.population_count(nmoves_s).astype(i32)
+    seed_c = (
+        svalid
+        & (~dup)
+        & (ntot_s >= SL)
+        & (seedprob_s >= p.min_seed_prob)
+        & ((ne_s - ns_s + 1) == 1)
+        & ((nmoves_s & 1) == 1)
+        & ((SL - smc) <= p.max_stay_frac * SL)
+    )
+
+    # ---- seed rows: ended groups (parent order) then candidates (sorted) ----
+    g_st = jnp.concatenate([st["p_start"], ns_s], axis=1)  # [B, P+C]
+    g_rows = jnp.concatenate([e_rows, seed_c.astype(i32)], axis=1)
+    g_mc = jnp.concatenate([pmc, smc], axis=1)
+    g_evt = jnp.concatenate(
+        [
+            jnp.broadcast_to((st["evt_i"] - 1)[:, None], (B, P)),
+            jnp.broadcast_to(st["evt_i"][:, None], (B, C)),
+        ],
+        axis=1,
+    )
+    g_cum = jnp.cumsum(g_rows, axis=1, dtype=i32)
+    total_rows = g_cum[:, -1]
+    row_ids = jnp.arange(R, dtype=i32)
+    grp = jax.vmap(
+        lambda cums: jnp.searchsorted(cums, row_ids, side="right")
+    )(g_cum).astype(i32)  # [B, R]
+    grp = jnp.minimum(grp, P + C - 1)
+    row_ok = (row_ids[None, :] < total_rows[:, None]) & alive[:, None]
+    g_pos = jnp.where(grp > 0, take(g_cum, jnp.maximum(grp - 1, 0)), 0)
+    sa_row = take(g_st, grp) + (row_ids[None, :] - g_pos)
+    sa_row = jnp.clip(sa_row, 0, n)
+    ref_en = n - idx["sa"][sa_row]
+    row_mc = take(g_mc, grp)
+    row_evt = take(g_evt, grp)
+
+    def add_row(r, tstate):
+        return _tracker_add(
+            p, tstate, ref_en[:, r], row_mc[:, r], row_evt[:, r], row_ok[:, r]
+        )
+
+    tstate = {
+        k: st[k]
+        for k in (
+            "cl_valid", "cl_ref_st", "cl_r1", "cl_r2e", "cl_evt_st",
+            "cl_evt_en", "cl_total", "len_sum", "n_cl",
+            "mm_len", "mm_ref_st", "mm_r1", "mm_r2e", "mm_evt_st", "mm_evt_en",
+        )
+    }
+    tstate = jax.lax.fori_loop(0, R, add_row, tstate)
+
+    # ---- sources (mapper.cpp:544-624) ----
+    source_prob = idx["threshes"][0]
+    kpass = prob_s >= source_prob
+    prev_k = jnp.concatenate([jnp.full((B, 1), -1, i32), nk_s[:, :-1]], axis=1)
+    first_seg = svalid & (nk_s != prev_k)
+    seg_id = jnp.cumsum(first_seg, axis=1, dtype=i32)
+    segkey = seg_id.astype(jnp.float64) * jnp.float64(2**32) + ne_s.astype(
+        jnp.float64
+    )
+    run_end = (
+        jax.lax.cummax(segkey, axis=1) - seg_id.astype(jnp.float64) * 2**32
+    ).astype(i32)
+
+    km_st = idx["kmer_st"][nk_s]
+    km_en = idx["kmer_en"][nk_s]
+    head_st = km_st
+    head_en = ns_s - 1
+    head_v = first_seg & kpass & (head_st <= head_en)
+
+    nxt_same = nxt(svalid, False) & (nxt(nk_s, -1) == nk_s)
+    gap_st = run_end + 1
+    gap_en = jnp.where(nxt_same, nxt(ns_s, 0) - 1, km_en)
+    gap_v = svalid & (~dup) & kpass & (gap_st <= gap_en)
+
+    present = (
+        jnp.zeros((B, KMER_COUNT), i32)
+        .at[
+            jax.lax.broadcasted_iota(i32, (B, C), 0), jnp.where(cvalid, nk, 0)
+        ]
+        .add(cvalid.astype(i32))
+        > 0
+    )
+    full_v = (
+        (~present)
+        & (probs >= source_prob)
+        & (idx["kmer_st"] <= idx["kmer_en"])[None, :]
+    )
+
+    # ---- assemble the new path table in the reference's creation order:
+    # children (sorted, deduped), head/gap sources interleaved, full sources
+    child_keep = svalid & (~dup)
+    hg_v = jnp.stack([head_v, gap_v], axis=2).reshape(B, 2 * C)
+    valid_concat = jnp.concatenate([child_keep, hg_v, full_v], axis=1)
+    posn = jnp.cumsum(valid_concat, axis=1, dtype=i32) - valid_concat
+    keepn = valid_concat & (posn < P)
+    dcat = jnp.where(keepn, posn, P)
+    pos_child = dcat[:, :C]
+    pos_hg = dcat[:, C : 3 * C].reshape(B, C, 2)
+    pos_head, pos_gap = pos_hg[:, :, 0], pos_hg[:, :, 1]
+    pos_full = dcat[:, 3 * C :]
+
+    bC = jax.lax.broadcasted_iota(i32, (B, C), 0)
+    bK = jax.lax.broadcasted_iota(i32, (B, KMER_COUNT), 0)
+    kmer_iota = jnp.broadcast_to(
+        jnp.arange(KMER_COUNT, dtype=i32)[None, :], (B, KMER_COUNT)
+    )
+
+    def scatter4(fill, child, head, gap, full, dtype=i32):
+        out = jnp.full((B, P + 1), fill, dtype)
+        out = out.at[bC, pos_child].set(child.astype(dtype), mode="drop")
+        out = out.at[bC, pos_head].set(head.astype(dtype), mode="drop")
+        out = out.at[bC, pos_gap].set(gap.astype(dtype), mode="drop")
+        out = out.at[bK, pos_full].set(full.astype(dtype), mode="drop")
+        return out[:, :P]
+
+    zC = jnp.zeros((B, C), i32)
+    src_prob_full = jnp.take_along_axis(probs, kmer_iota, axis=1)
+    np_start = scatter4(0, ns_s, head_st, gap_st, idx["kmer_st"][None, :])
+    np_end = scatter4(-1, ne_s, head_en, gap_en, idx["kmer_en"][None, :])
+    np_kmer = scatter4(0, nk_s, nk_s, nk_s, kmer_iota)
+    np_total = scatter4(0, ntot_s, zC + 1, zC + 1, jnp.ones((B, KMER_COUNT), i32))
+    np_consec = scatter4(0, ncons_s, zC, zC, jnp.zeros((B, KMER_COUNT), i32))
+    np_moves = scatter4(0, nmoves_s, zC + 1, zC + 1, jnp.ones((B, KMER_COUNT), i32))
+    np_sa = scatter4(
+        0, (csa_s | seed_c), zC, zC, jnp.zeros((B, KMER_COUNT), i32)
+    ).astype(bool)
+    # cum ring: children copy the parent ring then write the new slot;
+    # sources are zeros with slot 1 = prob (total=1, slot 0 stays 0)
+    new_slot = ntot_s % RING
+    ring_iota = jax.lax.broadcasted_iota(i32, (B, C, RING), 2)
+    cring_upd = jnp.where(
+        ring_iota == new_slot[:, :, None], newcum_s[:, :, None], cring_s
+    )
+    np_cum = jnp.zeros((B, P + 1, RING), jnp.float32)
+    np_cum = np_cum.at[bC, pos_child].set(cring_upd, mode="drop")
+    np_cum = np_cum.at[bC, pos_head, 1].set(prob_s, mode="drop")
+    np_cum = np_cum.at[bC, pos_gap, 1].set(prob_s, mode="drop")
+    np_cum = np_cum.at[bK, pos_full, 1].set(probs, mode="drop")
+    np_cum = np_cum[:, :P]
+
+    new_paths = {
+        "p_start": np_start,
+        "p_end": np_end,
+        "p_kmer": np_kmer,
+        "p_total": np_total,
+        "p_consec": np_consec,
+        "p_moves": np_moves,
+        "p_sa": np_sa,
+        "p_cum": np_cum,
+    }
+
+    # ---- merge, decide, advance lifecycle ----
+    out = dict(st)
+    for k, v in new_paths.items():
+        m = alive
+        while m.ndim < v.ndim:
+            m = m[..., None]
+        out[k] = jnp.where(m, v, st[k])
+    for k, v in tstate.items():
+        m = alive
+        while m.ndim < v.ndim:
+            m = m[..., None]
+        out[k] = jnp.where(m, v, st[k])
+
+    dec = _tracker_decide(p, out) & alive
+    out["done"] = st["done"] | dec
+    out["success"] = st["success"] | dec
+    out["dec_evt"] = jnp.where(dec, st["evt_i"], st["dec_evt"])
+    out["evt_i"] = st["evt_i"] + alive.astype(i32)
+    dbg = {
+        "seed_ref_en": jnp.where(row_ok, ref_en, -1),
+        "seed_mc": row_mc,
+        "seed_evt": row_evt,
+        "seed_rows": total_rows,
+        "n_paths": jnp.sum((new_paths["p_total"] > 0).astype(i32), axis=1),
+        "n_cand": jnp.sum(cvalid.astype(i32), axis=1),
+        "dec": dec,
+    }
+    return out, dbg
+
+
+def _path_seedprob(p: EngineParams, st):
+    """Recompute each live path's seed_prob_ from the cumulative-sum ring
+    (identical f32 ops to the values stored at child creation)."""
+    jnp = _jnp()
+    SL = p.seed_len
+    RING = SL + 1
+    tot = st["p_total"]
+    cum_now = jnp.take_along_axis(st["p_cum"], (tot % RING)[:, :, None], axis=2)[
+        :, :, 0
+    ]
+    wslot = jnp.where(tot >= SL, (tot - SL) % RING, 0)
+    wstart = jnp.take_along_axis(st["p_cum"], wslot[:, :, None], axis=2)[:, :, 0]
+    return jnp.where(
+        tot >= SL,
+        (cum_now - wstart) / jnp.float32(SL),
+        cum_now / jnp.maximum(tot, 1).astype(jnp.float32),
+    )
+
+
+def _tracker_decide(p: EngineParams, st):
+    """SeedTracker::get_final (seed_tracker.cpp:129-143).
+
+    Float divisions are left unguarded on purpose: the reference divides by
+    zero in C++ (inf/nan), and inf >= thresh / nan >= thresh compare the
+    same way in XLA f32.
+    """
+    jnp = _jnp()
+    NEG = jnp.int32(-(2**30))
+    tot = jnp.where(st["cl_valid"], st["cl_total"], NEG)
+    second = jnp.sort(tot, axis=1)[:, -2]
+    top = st["mm_len"].astype(jnp.float32)
+    mean = st["len_sum"] / st["n_cl"].astype(jnp.float32)
+    ok = (st["mm_len"] >= p.min_aln_len) & (st["n_cl"] >= 2)
+    conf = jnp.zeros_like(ok)
+    if p.min_mean_conf > 0:
+        conf |= top / mean >= p.min_mean_conf
+    if p.min_top_conf > 0:
+        conf |= top / second.astype(jnp.float32) >= p.min_top_conf
+    return ok & conf
+
+
+# ---------------------------------------------------------------------------
+# block advance + host wrapper
+# ---------------------------------------------------------------------------
+
+def advance_block(idx, p: EngineParams, state, means, on, debug=False):
+    """Advance all read slots through T events: means/on are [B, T].
+
+    on[b, t] marks a real event for slot b at step t (slots may have fewer
+    events than T in this block; finished reads stop consuming).
+    """
+    import jax
+
+    def step(st, inp):
+        ev, ev_on = inp
+        st2, dbg = _event_step(idx, p, st, ev, ev_on)
+        return st2, (dbg if debug else None)
+
+    ins = (means.T, on.T)  # [T, B]
+    state, dbg = jax.lax.scan(step, state, ins)
+    return (state, dbg) if debug else state
+
+
+class MapEngine:
+    """Host wrapper: owns the device index + jitted block step.
+
+    Usage:
+        eng = MapEngine(fmi, model, threshes, conf)
+        state = eng.fresh_state()
+        state = eng.advance(state, means, on)   # [B, T] f32 / bool
+        host  = eng.readout(state)              # numpy dict
+    """
+
+    def __init__(self, fmi, model, threshes, conf: Conf | None = None, **over):
+        import jax
+
+        self.conf = conf or Conf()
+        self.params = EngineParams.from_conf(self.conf, **over)
+        self.fmi = fmi
+        self.model = model
+        self.idx = device_index(fmi, threshes, model)
+        p = self.params
+
+        def _adv(state, means, on):
+            return advance_block(self.idx, p, state, means, on)
+
+        self._advance = jax.jit(_adv, donate_argnums=(0,))
+
+    def fresh_state(self):
+        return make_state(self.params)
+
+    def reset_slots(self, state, mask):
+        import jax.numpy as jnp
+
+        return reset_rows(state, jnp.asarray(mask))
+
+    def advance(self, state, means, on):
+        import jax.numpy as jnp
+
+        means = jnp.asarray(means, dtype=jnp.float32)
+        on = jnp.asarray(on, dtype=bool)
+        return self._advance(state, means, on)
+
+    def readout(self, state):
+        """Pull per-read lifecycle + decision fields to host numpy."""
+        import jax
+
+        keys = (
+            "done", "success", "dec_evt", "evt_i",
+            "mm_len", "mm_ref_st", "mm_r1", "mm_r2e", "mm_evt_st", "mm_evt_en",
+        )
+        vals = jax.device_get([state[k] for k in keys])
+        return dict(zip(keys, vals))
