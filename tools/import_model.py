@@ -38,12 +38,11 @@ def import_model(src: str, dst: str) -> None:
 
 
 def import_thresh(src: str, dst: str) -> None:
+    # keep f64: the index parameterizer's interpolation/printing must match
+    # the reference, which parses these as python floats (index.py:119-132)
     rows = np.loadtxt(src, dtype=np.float64)
     np.savez_compressed(
-        dst,
-        thresh=rows[:, 0].astype(np.float32),
-        freq=rows[:, 1].astype(np.float32),
-        count=rows[:, 2].astype(np.float32),
+        dst, thresh=rows[:, 0], freq=rows[:, 1], count=rows[:, 2]
     )
     print(f"wrote {dst}: {len(rows)} threshold rows")
 

@@ -65,6 +65,7 @@ class EngineParams:
     B: int = 64  # read slots
     P: int = 1024  # path budget per read
     C: int = 1024  # candidate budget per event (pre-dedup children)
+    CE: int = 0  # candidate extension width (>= C; 0 = auto C + C//4)
     R: int = 48  # seed SA-row budget per event
     CL: int = 128  # seed-cluster table capacity
     # mapper params (defaults.toml [mapper] via Conf)
@@ -401,6 +402,11 @@ def _event_step(idx, p: EngineParams, st, ev, ev_on):
     jnp = _jnp()
     i32, f32 = jnp.int32, jnp.float32
     B, P, C, R, SL = p.B, p.P, p.C, p.R, p.seed_len
+    # CE: physical candidate width. The budget C counts only FM-valid
+    # candidates (the reference checks range validity before appending,
+    # mapper.cpp:486-510), so we compact up to CE prob-passing flags,
+    # extend them, then cut at C valid ones.
+    CE = p.CE if p.CE else C + max(C // 4, 256)
     KMASK = KMER_COUNT - 1
     PATH_MASK = (1 << SL) - 1
     TAIL_MOVE = 1 << (SL - 1)
@@ -419,19 +425,23 @@ def _event_step(idx, p: EngineParams, st, ev, ev_on):
     stay_f = pv & (st["p_consec"] < p.max_consec_stay) & (stay_p >= thresh)
     nk4 = ((st["p_kmer"][:, :, None] << 2) & KMASK) | jnp.arange(4, dtype=i32)
     mv_p = take(probs, nk4.reshape(B, P * 4)).reshape(B, P, 4)
-    mv_f = pv[:, :, None] & (mv_p >= thresh[:, :, None])
+    # polarity parity: the reference skips a move when prob < thresh
+    # (mapper.cpp:489), so a NaN threshold (possible in fitted .uncl files,
+    # parsed by C++ stof) ACCEPTS all moves while the stay's `>=` gate
+    # (mapper.cpp:471) rejects. ~(a < b) != (a >= b) under NaN.
+    mv_f = pv[:, :, None] & ~(mv_p < thresh[:, :, None])
     flags = jnp.concatenate([stay_f[:, :, None], mv_f], axis=2)  # [B,P,5]
 
     # ---- compact to C candidate slots in creation order ----
     flat = flags.reshape(B, P * 5)
     pos = jnp.cumsum(flat, axis=1, dtype=i32) - flat
-    sel = flat & (pos < C)
-    dest = jnp.where(sel, pos, C)
+    sel = flat & (pos < CE)
+    dest = jnp.where(sel, pos, CE)
     code = jax.lax.broadcasted_iota(i32, (B, P * 5), 1)
     bidx = jax.lax.broadcasted_iota(i32, (B, P * 5), 0)
-    cand = jnp.full((B, C + 1), -1, i32).at[bidx, dest].set(
+    cand = jnp.full((B, CE + 1), -1, i32).at[bidx, dest].set(
         jnp.where(sel, code, -1), mode="drop"
-    )[:, :C]
+    )[:, :CE]
     cval = cand >= 0
     cpar = jnp.where(cval, cand // 5, 0)
     move = jnp.where(cval, cand % 5, 0)  # 0 = stay, 1..4 = move base+1
@@ -453,7 +463,12 @@ def _event_step(idx, p: EngineParams, st, ev, ev_on):
     ns_m, ne_m = _extend(idx, cs, ce, base)
     ns = jnp.where(is_mv, ns_m, cs)
     ne = jnp.where(is_mv, ne_m, ce)
-    cvalid = cval & ((~is_mv) | (ns <= ne))
+    cv_fm = cval & ((~is_mv) | (ns <= ne))
+    # exact budget: the reference appends only FM-valid candidates and
+    # breaks at max_paths appended (mapper.cpp:455-520)
+    vpos = jnp.cumsum(cv_fm, axis=1, dtype=i32) - cv_fm
+    cvalid = cv_fm & (vpos < C)
+    total_valid_fm = jnp.sum(cv_fm.astype(i32), axis=1)
 
     prob = take(probs, nk)
     new_tot = ctot + 1
@@ -473,14 +488,23 @@ def _event_step(idx, p: EngineParams, st, ev, ev_on):
     # a child only counts if its FM extension is valid (mapper.cpp:486-510:
     # invalid ranges are discarded before child_found is set), so scatter the
     # post-extension validity back to the parents
-    bcC = jax.lax.broadcasted_iota(i32, (B, C), 0)
+    bcC = jax.lax.broadcasted_iota(i32, (B, CE), 0)
     child_any = (
         jnp.zeros((B, P), i32).at[bcC, cpar].add(cvalid.astype(i32), mode="drop")
         > 0
     )
+    # budget-cut parity: when the candidate budget fills, the reference
+    # breaks out of the parent loop entirely (mapper.cpp:455-520), so
+    # parents not yet reached never run their ended-seed check. A parent is
+    # reached iff fewer than C *valid* candidates were appended before its
+    # first slot (valid count at its compacted flag position).
+    k_i = pos[:, ::5]  # compacted position of each parent's stay slot
+    vpos_pad = jnp.concatenate([vpos, total_valid_fm[:, None]], axis=1)
+    vb = take(vpos_pad, jnp.minimum(k_i, CE))
+    reached = (k_i < CE) & (vb < C)
     pmc = jax.lax.population_count(st["p_moves"]).astype(i32)
     pseedprob = _path_seedprob(p, st)
-    ended = pv & (~child_any) & (~st["p_sa"]) & alive[:, None]
+    ended = pv & (~child_any) & (~st["p_sa"]) & reached & alive[:, None]
     e_rep = (fmlen <= p.max_rep_copy) & (pmc >= p.min_rep_len)
     e_unique = (
         (fmlen == 1)
@@ -498,7 +522,7 @@ def _event_step(idx, p: EngineParams, st, ev, ev_on):
     # ---- sort candidates by (fm_start, fm_end, seed_prob) + dedup ----
     k1 = jnp.where(cvalid, ns, INT32_MAX)
     k2 = jnp.where(cvalid, ne, INT32_MAX)
-    iota_c = jax.lax.broadcasted_iota(i32, (B, C), 1)
+    iota_c = jax.lax.broadcasted_iota(i32, (B, CE), 1)
     k1s, k2s, k3s, perm = jax.lax.sort(
         (k1, k2, seedprob, iota_c), dimension=1, num_keys=3
     )
@@ -538,13 +562,13 @@ def _event_step(idx, p: EngineParams, st, ev, ev_on):
     )
 
     # ---- seed rows: ended groups (parent order) then candidates (sorted) ----
-    g_st = jnp.concatenate([st["p_start"], ns_s], axis=1)  # [B, P+C]
+    g_st = jnp.concatenate([st["p_start"], ns_s], axis=1)  # [B, P+CE]
     g_rows = jnp.concatenate([e_rows, seed_c.astype(i32)], axis=1)
     g_mc = jnp.concatenate([pmc, smc], axis=1)
     g_evt = jnp.concatenate(
         [
             jnp.broadcast_to((st["evt_i"] - 1)[:, None], (B, P)),
-            jnp.broadcast_to(st["evt_i"][:, None], (B, C)),
+            jnp.broadcast_to(st["evt_i"][:, None], (B, CE)),
         ],
         axis=1,
     )
@@ -554,7 +578,7 @@ def _event_step(idx, p: EngineParams, st, ev, ev_on):
     grp = jax.vmap(
         lambda cums: jnp.searchsorted(cums, row_ids, side="right")
     )(g_cum).astype(i32)  # [B, R]
-    grp = jnp.minimum(grp, P + C - 1)
+    grp = jnp.minimum(grp, P + CE - 1)
     row_ok = (row_ids[None, :] < total_rows[:, None]) & alive[:, None]
     g_pos = jnp.where(grp > 0, take(g_cum, jnp.maximum(grp - 1, 0)), 0)
     sa_row = take(g_st, grp) + (row_ids[None, :] - g_pos)
@@ -576,7 +600,17 @@ def _event_step(idx, p: EngineParams, st, ev, ev_on):
             "mm_len", "mm_ref_st", "mm_r1", "mm_r2e", "mm_evt_st", "mm_evt_en",
         )
     }
-    tstate = jax.lax.fori_loop(0, R, add_row, tstate)
+    max_rows = jnp.minimum(jnp.max(jnp.where(alive, total_rows, 0)), R)
+
+    def row_cond(carry):
+        r, _ = carry
+        return r < max_rows
+
+    def row_body(carry):
+        r, ts = carry
+        return r + 1, add_row(r, ts)
+
+    _, tstate = jax.lax.while_loop(row_cond, row_body, (jnp.int32(0), tstate))
 
     # ---- sources (mapper.cpp:544-624) ----
     source_prob = idx["threshes"][0]
@@ -605,7 +639,7 @@ def _event_step(idx, p: EngineParams, st, ev, ev_on):
     present = (
         jnp.zeros((B, KMER_COUNT), i32)
         .at[
-            jax.lax.broadcasted_iota(i32, (B, C), 0), jnp.where(cvalid, nk, 0)
+            jax.lax.broadcasted_iota(i32, (B, CE), 0), jnp.where(cvalid, nk, 0)
         ]
         .add(cvalid.astype(i32))
         > 0
@@ -619,17 +653,29 @@ def _event_step(idx, p: EngineParams, st, ev, ev_on):
     # ---- assemble the new path table in the reference's creation order:
     # children (sorted, deduped), head/gap sources interleaved, full sources
     child_keep = svalid & (~dup)
-    hg_v = jnp.stack([head_v, gap_v], axis=2).reshape(B, 2 * C)
-    valid_concat = jnp.concatenate([child_keep, hg_v, full_v], axis=1)
-    posn = jnp.cumsum(valid_concat, axis=1, dtype=i32) - valid_concat
-    keepn = valid_concat & (posn < P)
-    dcat = jnp.where(keepn, posn, P)
-    pos_child = dcat[:, :C]
-    pos_hg = dcat[:, C : 3 * C].reshape(B, C, 2)
+    n_cands = jnp.sum(svalid.astype(i32), axis=1)
+    pos_child_raw = jnp.cumsum(child_keep, axis=1, dtype=i32) - child_keep
+    pos_child = jnp.where(child_keep, pos_child_raw, P)
+    # source budget parity: the reference's budget_left() counts ALL sorted
+    # candidates (including dups) plus sources created so far against
+    # max_paths (mapper.cpp:544-624), so source slots start at n_cands.
+    # children occupy slots [0, n_nondup) and n_nondup <= n_cands, so the
+    # two regions never collide; gaps stay empty (p_total==0) and vanish
+    # from the next event's creation order just like the reference's list.
+    hg_v = jnp.stack([head_v, gap_v], axis=2).reshape(B, 2 * CE)
+    src_concat = jnp.concatenate([hg_v, full_v], axis=1)
+    pos_src = (
+        n_cands[:, None]
+        + jnp.cumsum(src_concat, axis=1, dtype=i32)
+        - src_concat
+    )
+    keep_src = src_concat & (pos_src < P)
+    dsrc = jnp.where(keep_src, pos_src, P)
+    pos_hg = dsrc[:, : 2 * CE].reshape(B, CE, 2)
     pos_head, pos_gap = pos_hg[:, :, 0], pos_hg[:, :, 1]
-    pos_full = dcat[:, 3 * C :]
+    pos_full = dsrc[:, 2 * CE :]
 
-    bC = jax.lax.broadcasted_iota(i32, (B, C), 0)
+    bC = jax.lax.broadcasted_iota(i32, (B, CE), 0)
     bK = jax.lax.broadcasted_iota(i32, (B, KMER_COUNT), 0)
     kmer_iota = jnp.broadcast_to(
         jnp.arange(KMER_COUNT, dtype=i32)[None, :], (B, KMER_COUNT)
@@ -643,7 +689,7 @@ def _event_step(idx, p: EngineParams, st, ev, ev_on):
         out = out.at[bK, pos_full].set(full.astype(dtype), mode="drop")
         return out[:, :P]
 
-    zC = jnp.zeros((B, C), i32)
+    zC = jnp.zeros((B, CE), i32)
     src_prob_full = jnp.take_along_axis(probs, kmer_iota, axis=1)
     np_start = scatter4(0, ns_s, head_st, gap_st, idx["kmer_st"][None, :])
     np_end = scatter4(-1, ne_s, head_en, gap_en, idx["kmer_en"][None, :])
@@ -657,7 +703,7 @@ def _event_step(idx, p: EngineParams, st, ev, ev_on):
     # cum ring: children copy the parent ring then write the new slot;
     # sources are zeros with slot 1 = prob (total=1, slot 0 stays 0)
     new_slot = ntot_s % RING
-    ring_iota = jax.lax.broadcasted_iota(i32, (B, C, RING), 2)
+    ring_iota = jax.lax.broadcasted_iota(i32, (B, CE, RING), 2)
     cring_upd = jnp.where(
         ring_iota == new_slot[:, :, None], newcum_s[:, :, None], cring_s
     )
@@ -736,9 +782,18 @@ def _tracker_decide(p: EngineParams, st):
     same way in XLA f32.
     """
     jnp = _jnp()
+    import jax
+
     NEG = jnp.int32(-(2**30))
     tot = jnp.where(st["cl_valid"], st["cl_total"], NEG)
-    second = jnp.sort(tot, axis=1)[:, -2]
+    CL = tot.shape[1]
+    first_i = jnp.argmax(tot, axis=1)
+    masked = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, tot.shape, 1) == first_i[:, None],
+        NEG,
+        tot,
+    )
+    second = jnp.max(masked, axis=1)
     top = st["mm_len"].astype(jnp.float32)
     mean = st["len_sum"] / st["n_cl"].astype(jnp.float32)
     ok = (st["mm_len"] >= p.min_aln_len) & (st["n_cl"] >= 2)

@@ -50,17 +50,21 @@ def load_uncl(path: str, preset: str = "default") -> np.ndarray:
     bins 63 down; remaining lower bins repeat the last parsed value.
     """
     threshes = np.zeros(64, dtype=np.float32)
+    found = False
     with open(path) as f:
         for line in f:
             parts = line.rstrip("\n").split("\t")
             if preset and parts[0] != preset:
                 continue
+            found = True
             vals = [np.float32(x) for x in parts[1].split(",")]
             b = 63
             for v in vals:
                 threshes[b] = v
                 b -= 1
             threshes[: b + 1] = vals[-1]
+    if not found:
+        raise ValueError(f"preset {preset!r} not found in {path}")
     return threshes
 
 
