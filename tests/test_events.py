@@ -112,3 +112,20 @@ def test_jax_detector_batch_consistency(golden_reads):
         np.testing.assert_array_equal(
             np.asarray(out["mean"][i])[fa], np.asarray(solo["mean"][0])[fa]
         )
+
+
+def test_native_detector_bitexact(golden_reads):
+    """C++ detector (uncalled_tpu/native/event_detector.cpp) == numpy oracle."""
+    from uncalled_tpu import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    for rid in ["sim_0005_Escherichia_coli_3483_+", "noise_1"]:
+        sig = golden_reads[rid]
+        a = native.detect_events(sig, 0.0, 40000.0)
+        b = detect_events_np(sig)
+        assert np.array_equal(a["start"], b["start"])
+        assert np.array_equal(a["mean"], b["mean"])
+        assert np.array_equal(a["stdv"], b["stdv"])
+        assert a["total_events"] == b["total_events"]
+        assert np.float32(a["len_sum"]) == np.float32(b["len_sum"])

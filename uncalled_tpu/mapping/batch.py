@@ -63,7 +63,11 @@ class BatchMapper:
     # ------------------------------------------------------------- events
     def _prepare(self, read) -> _Slot:
         ed = self.conf.event_detector
-        ev = detect_events_np(read.signal, ed.min_mean, ed.max_mean)
+        from .. import native
+
+        ev = native.detect_events(read.signal, ed.min_mean, ed.max_mean)
+        if ev is None:  # no native lib: python oracle fallback (slow)
+            ev = detect_events_np(read.signal, ed.min_mean, ed.max_mean)
         if ev["total_events"] > 0:
             mel = F32(ev["len_sum"]) / F32(ev["total_events"])
         else:

@@ -392,6 +392,24 @@ def _tracker_add(p: EngineParams, st, ref_en, mc, evt, row_ok):
     return out
 
 
+def _compact_idx(valid, w_out):
+    """Stable-compaction *gather* indices: src[j] = index of the j-th True
+    element of valid[B, W] (order preserved), ok[j] = j < count.
+
+    Replaces scatter-based compaction: positions are a monotone cumsum, so
+    the inverse mapping is a batched binary search (XLA TPU scatters
+    serialize; gathers vectorize).
+    """
+    import jax
+
+    jnp = _jnp()
+    cum = jnp.cumsum(valid, axis=1, dtype=jnp.int32)
+    targets = jnp.arange(1, w_out + 1, dtype=jnp.int32)
+    idx = jax.vmap(lambda c: jnp.searchsorted(c, targets, side="left"))(cum)
+    ok = targets[None, :] <= cum[:, -1:]
+    return jnp.minimum(idx, valid.shape[1] - 1).astype(jnp.int32), ok
+
+
 # ---------------------------------------------------------------------------
 # per-event step (the batched map_next, mapper.cpp:433-663)
 # ---------------------------------------------------------------------------
@@ -435,26 +453,20 @@ def _event_step(idx, p: EngineParams, st, ev, ev_on):
     # ---- compact to C candidate slots in creation order ----
     flat = flags.reshape(B, P * 5)
     pos = jnp.cumsum(flat, axis=1, dtype=i32) - flat
-    sel = flat & (pos < CE)
-    dest = jnp.where(sel, pos, CE)
-    code = jax.lax.broadcasted_iota(i32, (B, P * 5), 1)
-    bidx = jax.lax.broadcasted_iota(i32, (B, P * 5), 0)
-    cand = jnp.full((B, CE + 1), -1, i32).at[bidx, dest].set(
-        jnp.where(sel, code, -1), mode="drop"
-    )[:, :CE]
-    cval = cand >= 0
-    cpar = jnp.where(cval, cand // 5, 0)
-    move = jnp.where(cval, cand % 5, 0)  # 0 = stay, 1..4 = move base+1
+    cidx, cval = _compact_idx(flat, CE)  # cidx = flat code of j-th flag
+    cpar = jnp.where(cval, cidx // 5, P)  # invalid -> P keeps cpar sorted
+    move = jnp.where(cval, cidx % 5, 0)  # 0 = stay, 1..4 = move base+1
+    cpar_g = jnp.minimum(cpar, P - 1)
 
     # ---- gather parent state, FM-extend the moves ----
-    cs = take(st["p_start"], cpar)
-    ce = take(st["p_end"], cpar)
-    ck = take(st["p_kmer"], cpar)
-    ctot = take(st["p_total"], cpar)
-    ccons = take(st["p_consec"], cpar)
-    cmvs = take(st["p_moves"], cpar)
-    csa = take(st["p_sa"], cpar)
-    cring = jnp.take_along_axis(st["p_cum"], cpar[:, :, None], axis=1)  # [B,C,RING]
+    cs = take(st["p_start"], cpar_g)
+    ce = take(st["p_end"], cpar_g)
+    ck = take(st["p_kmer"], cpar_g)
+    ctot = take(st["p_total"], cpar_g)
+    ccons = take(st["p_consec"], cpar_g)
+    cmvs = take(st["p_moves"], cpar_g)
+    csa = take(st["p_sa"], cpar_g)
+    cring = jnp.take_along_axis(st["p_cum"], cpar_g[:, :, None], axis=1)  # [B,CE,RING]
     ccum = jnp.take_along_axis(cring, (ctot % RING)[:, :, None], axis=2)[:, :, 0]
 
     is_mv = move >= 1
@@ -488,11 +500,16 @@ def _event_step(idx, p: EngineParams, st, ev, ev_on):
     # a child only counts if its FM extension is valid (mapper.cpp:486-510:
     # invalid ranges are discarded before child_found is set), so scatter the
     # post-extension validity back to the parents
-    bcC = jax.lax.broadcasted_iota(i32, (B, CE), 0)
-    child_any = (
-        jnp.zeros((B, P), i32).at[bcC, cpar].add(cvalid.astype(i32), mode="drop")
-        > 0
+    # cpar is nondecreasing (creation order), so each parent's candidates
+    # are a contiguous segment: count valid ones via prefix sums + binary
+    # search instead of a scatter
+    cumv = jnp.concatenate(
+        [jnp.zeros((B, 1), i32), jnp.cumsum(cvalid, axis=1, dtype=i32)], axis=1
     )
+    par_ids = jnp.arange(P, dtype=i32)
+    seg_lo = jax.vmap(lambda c: jnp.searchsorted(c, par_ids, side="left"))(cpar)
+    seg_hi = jax.vmap(lambda c: jnp.searchsorted(c, par_ids, side="right"))(cpar)
+    child_any = (take(cumv, seg_hi) - take(cumv, seg_lo)) > 0
     # budget-cut parity: when the candidate budget fills, the reference
     # breaks out of the parent loop entirely (mapper.cpp:455-520), so
     # parents not yet reached never run their ended-seed check. A parent is
@@ -636,13 +653,18 @@ def _event_step(idx, p: EngineParams, st, ev, ev_on):
     gap_en = jnp.where(nxt_same, nxt(ns_s, 0) - 1, km_en)
     gap_v = svalid & (~dup) & kpass & (gap_st <= gap_en)
 
+    # presence of a k-mer among candidates: sort the candidate k-mer ids
+    # (single-key i32 sort; XLA TPU scatters serialize, sorts vectorize)
+    # and membership-test all 1024 k-mers by binary search
+    ksorted = jax.lax.sort(jnp.where(svalid, nk_s, KMER_COUNT), dimension=1)
+    kq = jnp.arange(KMER_COUNT, dtype=i32)
+    kpos = jax.vmap(lambda a: jnp.searchsorted(a, kq, side="left"))(ksorted)
     present = (
-        jnp.zeros((B, KMER_COUNT), i32)
-        .at[
-            jax.lax.broadcasted_iota(i32, (B, CE), 0), jnp.where(cvalid, nk, 0)
-        ]
-        .add(cvalid.astype(i32))
-        > 0
+        take(
+            jnp.concatenate([ksorted, jnp.full((B, 1), KMER_COUNT, i32)], axis=1),
+            kpos,
+        )
+        == kq[None, :]
     )
     full_v = (
         (~present)
@@ -654,52 +676,57 @@ def _event_step(idx, p: EngineParams, st, ev, ev_on):
     # children (sorted, deduped), head/gap sources interleaved, full sources
     child_keep = svalid & (~dup)
     n_cands = jnp.sum(svalid.astype(i32), axis=1)
-    pos_child_raw = jnp.cumsum(child_keep, axis=1, dtype=i32) - child_keep
-    pos_child = jnp.where(child_keep, pos_child_raw, P)
     # source budget parity: the reference's budget_left() counts ALL sorted
     # candidates (including dups) plus sources created so far against
     # max_paths (mapper.cpp:544-624), so source slots start at n_cands.
     # children occupy slots [0, n_nondup) and n_nondup <= n_cands, so the
     # two regions never collide; gaps stay empty (p_total==0) and vanish
     # from the next event's creation order just like the reference's list.
+    # source field streams in creation order (head/gap interleaved by
+    # candidate, then full-range by k-mer) -- pure elementwise builds
     hg_v = jnp.stack([head_v, gap_v], axis=2).reshape(B, 2 * CE)
     src_concat = jnp.concatenate([hg_v, full_v], axis=1)
-    pos_src = (
-        n_cands[:, None]
-        + jnp.cumsum(src_concat, axis=1, dtype=i32)
-        - src_concat
-    )
-    keep_src = src_concat & (pos_src < P)
-    dsrc = jnp.where(keep_src, pos_src, P)
-    pos_hg = dsrc[:, : 2 * CE].reshape(B, CE, 2)
-    pos_head, pos_gap = pos_hg[:, :, 0], pos_hg[:, :, 1]
-    pos_full = dsrc[:, 2 * CE :]
-
-    bC = jax.lax.broadcasted_iota(i32, (B, CE), 0)
-    bK = jax.lax.broadcasted_iota(i32, (B, KMER_COUNT), 0)
-    kmer_iota = jnp.broadcast_to(
+    inter = lambda h, g: jnp.stack(
+        [h, jnp.broadcast_to(g, h.shape)], axis=2
+    ).reshape(B, 2 * CE)
+    kmer_row = jnp.broadcast_to(
         jnp.arange(KMER_COUNT, dtype=i32)[None, :], (B, KMER_COUNT)
     )
+    bc_i32 = lambda a: jnp.broadcast_to(a, (B, KMER_COUNT)).astype(i32)
+    src_start = jnp.concatenate([inter(head_st, gap_st), bc_i32(idx["kmer_st"][None, :])], axis=1)
+    src_end = jnp.concatenate([inter(head_en, gap_en), bc_i32(idx["kmer_en"][None, :])], axis=1)
+    src_kmer = jnp.concatenate([inter(nk_s, nk_s), kmer_row], axis=1)
+    src_prob = jnp.concatenate(
+        [inter(prob_s, prob_s), probs.astype(jnp.float32)], axis=1
+    )
 
-    def scatter4(fill, child, head, gap, full, dtype=i32):
-        out = jnp.full((B, P + 1), fill, dtype)
-        out = out.at[bC, pos_child].set(child.astype(dtype), mode="drop")
-        out = out.at[bC, pos_head].set(head.astype(dtype), mode="drop")
-        out = out.at[bC, pos_gap].set(gap.astype(dtype), mode="drop")
-        out = out.at[bK, pos_full].set(full.astype(dtype), mode="drop")
-        return out[:, :P]
+    # merge children + sources into the new table by GATHER: slot j holds
+    # child j' (j < n_nondup) or source k=j-n_cands (reference budget layout)
+    child_src, child_ok = _compact_idx(child_keep, P)
+    src_src, src_ok = _compact_idx(src_concat, P)
+    out_j = jnp.arange(P, dtype=i32)[None, :]
+    as_child = child_ok
+    k_src = jnp.clip(out_j - n_cands[:, None], 0, P - 1)
+    src_of = take(src_src, k_src)
+    src_okj = take(src_ok, k_src) & (out_j >= n_cands[:, None])
+    gc = lambda a: take(a, child_src)
+    gsrc = lambda a: take(a, src_of)
 
-    zC = jnp.zeros((B, CE), i32)
-    src_prob_full = jnp.take_along_axis(probs, kmer_iota, axis=1)
-    np_start = scatter4(0, ns_s, head_st, gap_st, idx["kmer_st"][None, :])
-    np_end = scatter4(-1, ne_s, head_en, gap_en, idx["kmer_en"][None, :])
-    np_kmer = scatter4(0, nk_s, nk_s, nk_s, kmer_iota)
-    np_total = scatter4(0, ntot_s, zC + 1, zC + 1, jnp.ones((B, KMER_COUNT), i32))
-    np_consec = scatter4(0, ncons_s, zC, zC, jnp.zeros((B, KMER_COUNT), i32))
-    np_moves = scatter4(0, nmoves_s, zC + 1, zC + 1, jnp.ones((B, KMER_COUNT), i32))
-    np_sa = scatter4(
-        0, (csa_s | seed_c), zC, zC, jnp.zeros((B, KMER_COUNT), i32)
-    ).astype(bool)
+    def merge(child_arr, src_arr, fill, dtype=i32):
+        return jnp.where(
+            as_child,
+            gc(child_arr).astype(dtype),
+            jnp.where(src_okj, gsrc(src_arr).astype(dtype), dtype(fill)),
+        )
+
+    onesC = jnp.ones((B, P), i32)
+    np_start = merge(ns_s, src_start, 0)
+    np_end = merge(ne_s, src_end, -1)
+    np_kmer = merge(nk_s, src_kmer, 0)
+    np_total = jnp.where(as_child, gc(ntot_s), jnp.where(src_okj, 1, 0))
+    np_consec = jnp.where(as_child, gc(ncons_s), 0)
+    np_moves = jnp.where(as_child, gc(nmoves_s), jnp.where(src_okj, 1, 0))
+    np_sa = jnp.where(as_child, gc(csa_s | seed_c), False)
     # cum ring: children copy the parent ring then write the new slot;
     # sources are zeros with slot 1 = prob (total=1, slot 0 stays 0)
     new_slot = ntot_s % RING
@@ -707,12 +734,13 @@ def _event_step(idx, p: EngineParams, st, ev, ev_on):
     cring_upd = jnp.where(
         ring_iota == new_slot[:, :, None], newcum_s[:, :, None], cring_s
     )
-    np_cum = jnp.zeros((B, P + 1, RING), jnp.float32)
-    np_cum = np_cum.at[bC, pos_child].set(cring_upd, mode="drop")
-    np_cum = np_cum.at[bC, pos_head, 1].set(prob_s, mode="drop")
-    np_cum = np_cum.at[bC, pos_gap, 1].set(prob_s, mode="drop")
-    np_cum = np_cum.at[bK, pos_full, 1].set(probs, mode="drop")
-    np_cum = np_cum[:, :P]
+    child_ring = jnp.take_along_axis(cring_upd, child_src[:, :, None], axis=1)
+    src_ring = (
+        jax.lax.broadcasted_iota(i32, (1, 1, RING), 2) == 1
+    ) * jnp.where(src_okj, gsrc(src_prob), 0.0)[:, :, None]
+    np_cum = jnp.where(as_child[:, :, None], child_ring, src_ring).astype(
+        jnp.float32
+    )
 
     new_paths = {
         "p_start": np_start,

@@ -23,8 +23,9 @@ def _load():
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB_PATH) or os.path.getmtime(_LIB_PATH) < os.path.getmtime(
-        os.path.join(_DIR, "saca.cpp")
+    srcs = [os.path.join(_DIR, f) for f in ("saca.cpp", "event_detector.cpp")]
+    if not os.path.exists(_LIB_PATH) or any(
+        os.path.getmtime(_LIB_PATH) < os.path.getmtime(s) for s in srcs
     ):
         try:
             subprocess.run(
@@ -48,6 +49,19 @@ def _load():
             ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int64,
             ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib.detect_events_f32.restype = ctypes.c_int64
+        lib.detect_events_f32.argtypes = [
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64,
+            ctypes.c_float,
+            ctypes.c_float,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_double),
         ]
         _lib = lib
     except OSError:
@@ -91,3 +105,41 @@ def bwt_from_sa(text: np.ndarray, sa: np.ndarray) -> tuple[np.ndarray, int] | No
         bwt.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
     return bwt, int(primary)
+
+
+def detect_events(signal: np.ndarray, min_mean: float, max_mean: float):
+    """Native event detection; None if the library is unavailable.
+
+    Returns the same dict as uncalled_tpu.ops.events.detect_events_np
+    (numerically identical; golden-tested against it)."""
+    lib = _load()
+    if lib is None:
+        return None
+    sig = np.ascontiguousarray(signal, dtype=np.float32)
+    n = len(sig)
+    start = np.empty(n, dtype=np.int32)
+    length = np.empty(n, dtype=np.float32)
+    mean = np.empty(n, dtype=np.float32)
+    stdv = np.empty(n, dtype=np.float32)
+    total = ctypes.c_int64(0)
+    len_sum = ctypes.c_double(0.0)
+    ne = lib.detect_events_f32(
+        sig.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        n,
+        ctypes.c_float(min_mean),
+        ctypes.c_float(max_mean),
+        start.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        length.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        mean.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        stdv.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.byref(total),
+        ctypes.byref(len_sum),
+    )
+    return {
+        "start": start[:ne].astype(np.int64),
+        "length": length[:ne].copy(),
+        "mean": mean[:ne].copy(),
+        "stdv": stdv[:ne].copy(),
+        "total_events": int(total.value),
+        "len_sum": np.float32(len_sum.value),
+    }
