@@ -1,0 +1,188 @@
+"""CLI: `python -m uncalled_tpu <subcommand>`.
+
+Mirrors the reference CLI surface (scripts/uncalled:333-350): index, map,
+sim, realtime, pafstats. Arguments reuse the reference's flag names where
+they exist; TPU engine knobs replace thread counts.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def _add_engine_opts(p):
+    p.add_argument("--batch-reads", type=int, default=64,
+                   help="device read slots (replaces -t threads)")
+    p.add_argument("--evt-block", type=int, default=32,
+                   help="events per jitted device step")
+    p.add_argument("--max-paths", type=int, default=10000,
+                   help="path budget per read (reference max_paths)")
+    p.add_argument("--seed-rows", type=int, default=512,
+                   help="seed SA-row budget per event")
+    p.add_argument("--clusters", type=int, default=2048,
+                   help="seed-cluster table capacity")
+    p.add_argument("--conf", type=str, default=None, help="TOML config file")
+    p.add_argument("-p", "--idx-preset", type=str, default="default",
+                   help="threshold preset name from the .uncl file")
+
+
+def _load_conf(args):
+    from .config import Conf
+
+    conf = Conf()
+    if getattr(args, "conf", None):
+        conf.load_toml(args.conf)
+    if hasattr(args, "batch_reads"):
+        conf.engine.batch_reads = args.batch_reads
+        conf.engine.evt_block = args.evt_block
+    return conf
+
+
+def index_cmd(args):
+    import os
+
+    from .index.build import build_index
+    from .index.fmindex import load_index
+    from .index.parameterize import build_uncl
+
+    prefix = args.bwa_prefix or args.fasta_filename
+    if os.path.exists(prefix + ".utidx.npz"):
+        sys.stderr.write("Using previously built index.\n")
+        fmi = load_index(prefix)
+    else:
+        sys.stderr.write(f"Building index for {args.fasta_filename}\n")
+        fmi = build_index(args.fasta_filename)
+        fmi.save(prefix)
+    sys.stderr.write("Fitting threshold presets\n")
+    out = build_uncl(
+        fmi,
+        prefix,
+        probs=args.probs.split(",") if args.probs else None,
+        speeds=args.speeds.split(",") if args.speeds else None,
+    )
+    sys.stderr.write(f"Wrote {out}\nDone\n")
+
+
+def map_cmd(args):
+    from .index.fmindex import load_index
+    from .io.fast5 import iter_reads
+    from .mapping.batch import BatchMapper
+    from .mapping.oracle import load_uncl
+    from .poremodel import load_default
+
+    conf = _load_conf(args)
+    fmi = load_index(args.bwa_prefix)
+    threshes = load_uncl(args.bwa_prefix + ".uncl", args.idx_preset)
+    bm = BatchMapper(
+        fmi, load_default(), threshes, conf, emit_timing=True,
+        P=args.max_paths, C=args.max_paths, R=args.seed_rows, CL=args.clusters,
+    )
+    read_filter = None
+    if args.read_list:
+        with open(args.read_list) as f:
+            read_filter = {l.strip() for l in f if l.strip()}
+    reads = iter_reads(
+        args.fast5s, recursive=args.recursive, max_reads=args.max_reads,
+        read_filter=read_filter,
+    )
+    n = 0
+    t0 = time.time()
+    for paf in bm.map_reads(reads):
+        sys.stdout.write(paf.to_line() + "\n")
+        sys.stdout.flush()
+        n += 1
+    sys.stderr.write(f"Mapped {n} reads in {time.time()-t0:.1f}s\n")
+
+
+def pafstats_cmd(args):
+    from . import pafstats
+
+    pafstats.run(
+        args.infile, ref_paf=args.ref_paf, max_reads=args.max_reads,
+        annotate=args.annotate,
+    )
+
+
+def sim_cmd(args):
+    from .realtime.sim import run_sim
+
+    run_sim(args)
+
+
+def realtime_cmd(args):
+    from .realtime.client import run_realtime
+
+    run_realtime(args)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        prog="uncalled_tpu",
+        description="TPU-native raw nanopore signal mapper "
+        "(UNCALLED capabilities, JAX/XLA engine)",
+    )
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("index", help="build FM index + threshold presets")
+    p.add_argument("fasta_filename")
+    p.add_argument("-o", "--bwa-prefix", default=None)
+    p.add_argument("--probs", default=None,
+                   help="comma-separated target probs for extra presets")
+    p.add_argument("--speeds", default=None,
+                   help="comma-separated target speeds for extra presets")
+    p.set_defaults(fn=index_cmd)
+
+    p = sub.add_parser("map", help="batch-map fast5 reads, PAF to stdout")
+    p.add_argument("bwa_prefix")
+    p.add_argument("fast5s", nargs="+",
+                   help="fast5 files / dirs / list files / comma lists")
+    p.add_argument("-r", "--recursive", action="store_true")
+    p.add_argument("-n", "--max-reads", type=int, default=0)
+    p.add_argument("-l", "--read-list", type=str, default=None)
+    _add_engine_opts(p)
+    p.set_defaults(fn=map_cmd)
+
+    p = sub.add_parser("pafstats", help="PAF accuracy/speed statistics")
+    p.add_argument("infile")
+    p.add_argument("-r", "--ref-paf", default=None)
+    p.add_argument("-n", "--max-reads", type=int, default=None)
+    p.add_argument("-a", "--annotate", action="store_true")
+    p.set_defaults(fn=pafstats_cmd)
+
+    p = sub.add_parser("sim", help="simulated ReadUntil run (device simulator)")
+    p.add_argument("bwa_prefix")
+    p.add_argument("fast5s", nargs="+")
+    p.add_argument("-r", "--recursive", action="store_true")
+    p.add_argument("--ctl-seqsum", default="")
+    p.add_argument("--unc-seqsum", default="")
+    p.add_argument("--unc-paf", default="")
+    p.add_argument("--sim-speed", type=float, default=1.0)
+    p.add_argument("--enrich", action="store_true")
+    p.add_argument("--deplete", action="store_true")
+    p.add_argument("--duration", type=float, default=0.0)
+    p.add_argument("--even", action="store_true")
+    p.add_argument("--odd", action="store_true")
+    _add_engine_opts(p)
+    p.set_defaults(fn=sim_cmd)
+
+    p = sub.add_parser("realtime", help="live ReadUntil via read_until API")
+    p.add_argument("bwa_prefix")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--duration", type=float, default=0.0)
+    p.add_argument("--enrich", action="store_true")
+    p.add_argument("--deplete", action="store_true")
+    p.add_argument("--even", action="store_true")
+    p.add_argument("--odd", action="store_true")
+    p.add_argument("--chunk-time", type=float, default=1.0)
+    _add_engine_opts(p)
+    p.set_defaults(fn=realtime_cmd)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

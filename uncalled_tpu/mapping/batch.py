@@ -49,16 +49,19 @@ class _Slot:
     means: np.ndarray = None  # normalized event means
     fed: int = 0  # events fed to the device so far
     mean_evt_len: np.float32 = F32(0)
+    t_start: float = 0.0  # wall-clock when the read entered its slot
 
 
 class BatchMapper:
     """Map an iterable of reads, yielding Paf records (order of completion)."""
 
-    def __init__(self, fmi, model, threshes, conf: Conf | None = None, **over):
+    def __init__(self, fmi, model, threshes, conf: Conf | None = None,
+                 emit_timing: bool = False, **over):
         self.conf = conf or Conf()
         self.eng = MapEngine(fmi, model, threshes, self.conf, **over)
         self.fmi = fmi
         self.T = self.conf.engine.evt_block
+        self.emit_timing = emit_timing
 
     # ------------------------------------------------------------- events
     def _prepare(self, read) -> _Slot:
@@ -87,8 +90,16 @@ class BatchMapper:
         return int(v)
 
     def _finalize(self, slot: _Slot, ro, b) -> Paf:
+        import time
+
         read = slot.read
         paf = Paf(rd_name=read.id)
+        if self.emit_timing:
+            # mt: wall time the read spent in its device slot (the
+            # reference's mt is per-read map_read wall time,
+            # read_buffer.cpp:34-50; under batched dispatch this time is
+            # shared with B-1 other reads)
+            paf.set_float(Tag.MAP_TIME, (time.time() - slot.t_start) * 1000.0)
         paf.set_int(Tag.CHANNEL, read.channel)
         paf.set_int(Tag.READ_START, read.start_sample)
         paf.rd_len = int(F32(F32(read.raw_len) * F32(self.conf.reads.bp_per_samp)))
@@ -135,6 +146,7 @@ class BatchMapper:
                     except StopIteration:
                         continue
                     slots[b] = self._prepare(r)
+                    slots[b].t_start = __import__("time").time()
                     mask[b] = True
                     pending += 1
             if mask.any():

@@ -107,7 +107,9 @@ def device_index(fmi, threshes, model):
     jnp = _jnp()
     return {
         "bwt_words": jnp.asarray(fmi.bwt_words, dtype=jnp.uint32),
-        "ckpt": jnp.asarray(fmi.ckpt, dtype=jnp.int32),
+        # flattened [nb+1, 4] -> [(nb+1)*4]: 2D fancy-index gathers take
+        # minutes to compile on TPU Mosaic; 1D takes compile in <1s
+        "ckpt": jnp.asarray(fmi.ckpt, dtype=jnp.int32).reshape(-1),
         "sa": jnp.asarray(fmi.sa_full, dtype=jnp.int32),
         "kmer_st": jnp.asarray(fmi.kmer_ranges[:, 0], dtype=jnp.int32),
         "kmer_en": jnp.asarray(fmi.kmer_ranges[:, 1], dtype=jnp.int32),
@@ -208,7 +210,7 @@ def _occ(idx, k, c):
     kk = jnp.clip(kk, 0, n - 1)
 
     blk = kk >> 5  # 32 bases per checkpoint
-    base_cnt = idx["ckpt"][blk, c]
+    base_cnt = jnp.take(idx["ckpt"], (blk << 2) + c)
 
     rem = kk & 31
     w0 = blk << 1
@@ -634,13 +636,16 @@ def _event_step(idx, p: EngineParams, st, ev, ev_on):
     kpass = prob_s >= source_prob
     prev_k = jnp.concatenate([jnp.full((B, 1), -1, i32), nk_s[:, :-1]], axis=1)
     first_seg = svalid & (nk_s != prev_k)
+    # segmented running max of fm_end: associative scan over (segment id,
+    # running max) pairs in i32 (no f64/i64 emulation on TPU)
     seg_id = jnp.cumsum(first_seg, axis=1, dtype=i32)
-    segkey = seg_id.astype(jnp.float64) * jnp.float64(2**32) + ne_s.astype(
-        jnp.float64
-    )
-    run_end = (
-        jax.lax.cummax(segkey, axis=1) - seg_id.astype(jnp.float64) * 2**32
-    ).astype(i32)
+
+    def _segmax(a, b):
+        sa, ma = a
+        sb, mb = b
+        return sb, jnp.where(sa == sb, jnp.maximum(ma, mb), mb)
+
+    _, run_end = jax.lax.associative_scan(_segmax, (seg_id, ne_s), axis=1)
 
     km_st = idx["kmer_st"][nk_s]
     km_en = idx["kmer_en"][nk_s]
