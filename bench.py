@@ -27,6 +27,9 @@ N_READS = int(os.environ.get("BENCH_READS", 256))
 N_WARM = int(os.environ.get("BENCH_WARM", 16))
 BATCH = int(os.environ.get("BENCH_BATCH", 64))
 EVT_BLOCK = int(os.environ.get("BENCH_EVT_BLOCK", 32))
+PATHS = int(os.environ.get("BENCH_PATHS", 10000))
+SEED_ROWS = int(os.environ.get("BENCH_SEED_ROWS", 512))
+CLUSTERS = int(os.environ.get("BENCH_CLUSTERS", 2048))
 BASELINE_READS_PER_SEC = 16 / 0.14099  # reference: 16 threads, 140.99 ms/read
 
 
@@ -101,7 +104,7 @@ def main():
     conf.engine.evt_block = EVT_BLOCK
     bm = BatchMapper(
         fmi, load_default(), load_uncl(prefix + ".uncl"), conf,
-        P=10000, C=10000, R=512, CL=2048,
+        P=PATHS, C=PATHS, R=SEED_ROWS, CL=CLUSTERS,
     )
 
     # warmup (includes compile)
@@ -137,6 +140,7 @@ def main():
                     "correct_frac": round(n_correct / N_READS, 4),
                     "wall_s": round(dt, 2),
                     "batch": BATCH,
+                    "paths": PATHS,
                 },
             }
         )

@@ -111,6 +111,27 @@ def sim_cmd(args):
     run_sim(args)
 
 
+def yield_cmd(args):
+    if args.deplete == args.enrich:
+        sys.stderr.write("specify exactly one of --deplete / --enrich\n")
+        sys.exit(1)
+    from .realtime.yield_est import est_genome_yield
+
+    est_genome_yield(
+        args.uncalled_fname, args.seq_sum, args.minimap_fname,
+        args.bwa_prefix, deplete=args.deplete, sim_speed=args.sim_speed,
+    )
+
+
+def mask_cmd(args):
+    from . import masking
+
+    if args.mode == "internal":
+        masking.mask_internal(args.fasta_in, args.fasta_out, args.k, args.iters)
+    else:
+        masking.mask_external(args.fasta_in, args.fasta_out, args.min_len)
+
+
 def realtime_cmd(args):
     from .realtime.client import run_realtime
 
@@ -166,6 +187,28 @@ def main(argv=None):
     p.add_argument("--odd", action="store_true")
     _add_engine_opts(p)
     p.set_defaults(fn=sim_cmd)
+
+    p = sub.add_parser("mask", help="repeat-mask a reference fasta")
+    p.add_argument("fasta_in")
+    p.add_argument("fasta_out")
+    p.add_argument("--mode", choices=["internal", "external"], default="internal")
+    p.add_argument("-k", type=int, default=15, help="k-mer length (internal)")
+    p.add_argument("--iters", type=int, default=20, help="iterations (internal)")
+    p.add_argument("--min-len", type=int, default=100,
+                   help="min exact-repeat length (external)")
+    p.set_defaults(fn=mask_cmd)
+
+    p = sub.add_parser(
+        "yield", help="post-sim enrichment accounting (est_genome_yield)"
+    )
+    p.add_argument("-u", "--uncalled-fname", required=True)
+    p.add_argument("-s", "--seq-sum", required=True)
+    p.add_argument("-m", "--minimap-fname", required=True)
+    p.add_argument("-x", "--bwa-prefix", required=True)
+    p.add_argument("--deplete", action="store_true")
+    p.add_argument("--enrich", action="store_true")
+    p.add_argument("-t", "--sim-speed", type=float, default=1.0)
+    p.set_defaults(fn=yield_cmd)
 
     p = sub.add_parser("realtime", help="live ReadUntil via read_until API")
     p.add_argument("bwa_prefix")

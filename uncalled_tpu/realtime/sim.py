@@ -160,8 +160,15 @@ def run_sim(args):
     reads = list(iter_reads(args.fast5s, recursive=args.recursive))
     sys.stderr.write(f"Loaded {len(reads)} reads\n")
 
+    conf.simulator.ctl_seqsum = args.ctl_seqsum
+    conf.simulator.unc_seqsum = args.unc_seqsum
+    conf.simulator.unc_paf = args.unc_paf
     client = ClientSim(conf)
-    if not (args.unc_seqsum and load_pattern_files(client, args.unc_seqsum)):
+    if args.unc_seqsum and args.ctl_seqsum and args.unc_paf:
+        from .sim_utils import load_sim
+
+        load_sim(client, conf)
+    elif not (args.unc_seqsum and load_pattern_files(client, args.unc_seqsum)):
         dur = sum(r.raw_len for r in reads) // max(len(client.channels), 1) * 2
         default_pattern(client, reads, max(dur, conf.reads.sample_rate * 60))
     client.load_reads(reads)
