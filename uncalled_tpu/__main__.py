@@ -87,6 +87,20 @@ def map_cmd(args):
         args.fast5s, recursive=args.recursive, max_reads=args.max_reads,
         read_filter=read_filter,
     )
+    if args.ord:
+        from .mapping.ordered import map_ordered
+
+        n = 0
+        t0 = time.time()
+        for paf in map_ordered(
+            fmi, load_default(), threshes, list(reads), conf,
+            P=args.max_paths, C=args.max_paths, R=args.seed_rows,
+            CL=args.clusters,
+        ):
+            sys.stdout.write(paf.to_line() + "\n")
+            n += 1
+        sys.stderr.write(f"Mapped {n} reads in {time.time()-t0:.1f}s\n")
+        return
     n = 0
     t0 = time.time()
     for paf in bm.map_reads(reads):
@@ -132,6 +146,25 @@ def mask_cmd(args):
         masking.mask_external(args.fasta_in, args.fasta_out, args.min_len)
 
 
+def list_ports_cmd(args):
+    # the reference scrapes MinKNOW logs (scripts/uncalled:297-320); without
+    # a MinKNOW installation there is nothing to list
+    import glob
+    import os
+
+    log_dir = "/var/log/MinKNOW"
+    if not os.path.isdir(log_dir):
+        sys.stderr.write(
+            f"no MinKNOW installation found ({log_dir} missing)\n"
+        )
+        sys.exit(1)
+    for fn in sorted(glob.glob(os.path.join(log_dir, "mk_manager_svc*.log"))):
+        with open(fn) as f:
+            for line in f:
+                if "jsonrpc port" in line or "grpc port" in line:
+                    sys.stdout.write(line)
+
+
 def realtime_cmd(args):
     from .realtime.client import run_realtime
 
@@ -162,6 +195,8 @@ def main(argv=None):
     p.add_argument("-r", "--recursive", action="store_true")
     p.add_argument("-n", "--max-reads", type=int, default=0)
     p.add_argument("-l", "--read-list", type=str, default=None)
+    p.add_argument("--ord", action="store_true",
+                   help="replay reads in realtime chunk order (MapPoolOrd)")
     _add_engine_opts(p)
     p.set_defaults(fn=map_cmd)
 
@@ -209,6 +244,9 @@ def main(argv=None):
     p.add_argument("--enrich", action="store_true")
     p.add_argument("-t", "--sim-speed", type=float, default=1.0)
     p.set_defaults(fn=yield_cmd)
+
+    p = sub.add_parser("list-ports", help="list MinKNOW device ports")
+    p.set_defaults(fn=list_ports_cmd)
 
     p = sub.add_parser("realtime", help="live ReadUntil via read_until API")
     p.add_argument("bwa_prefix")

@@ -1,0 +1,129 @@
+"""Mapper debugging: per-read dumps + parser.
+
+The reference compiles with -DDEBUG_SEEDS/PATHS/EVENTS to make Mapper write
+`<prefix><read>_events.tsv` / `_seeds.bed` dumps (mapper.cpp:873-1078) that
+uncalled/debug.py parses for inspection. Here the batched engine's debug tap
+(advance_block(..., debug=True)) provides the same information without a
+special build: every seed row the tracker saw, per event, plus the event
+stream and normalization.
+
+dump_read() writes the reference-shaped files; DebugParser reads them back.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from .config import Conf
+from .kmer import K
+
+
+def dump_read(bm, read, dbg_prefix: str, max_events: int = 0):
+    """Map one read with full debug taps; writes
+    `<prefix><read_id>_events.tsv` and `<prefix><read_id>_seeds.bed`.
+
+    Returns (paf, n_seed_rows)."""
+    import jax.numpy as jnp
+
+    from .mapping.engine import advance_block
+
+    slot = bm._prepare(read)
+    means = slot.means
+    if max_events:
+        means = means[:max_events]
+    eng = bm.eng
+    state = eng.fresh_state()
+    mask = np.zeros(eng.params.B, bool)
+    mask[0] = True
+    state = eng.reset_slots(state, mask)
+    T = len(means)
+    pad = np.zeros((eng.params.B, T), np.float32)
+    on = np.zeros((eng.params.B, T), bool)
+    pad[0, :] = means
+    on[0, :] = True
+    state, dbg = advance_block(
+        eng.idx, eng.params, state, jnp.asarray(pad), jnp.asarray(on),
+        debug=True,
+    )
+
+    os.makedirs(os.path.dirname(dbg_prefix) or ".", exist_ok=True)
+    base = dbg_prefix + read.id
+
+    # _events.tsv: event index, normalized mean (reference dbg_events_out)
+    with open(base + "_events.tsv", "w") as f:
+        f.write("evt\tnorm_mean\n")
+        for i, m in enumerate(means):
+            f.write(f"{i}\t{m:.5f}\n")
+
+    # _seeds.bed: ref name, start, end, evt, move count (dbg_seeds_out shape)
+    ref_en = np.asarray(dbg["seed_ref_en"])[:, 0, :]
+    mc = np.asarray(dbg["seed_mc"])[:, 0, :]
+    evt = np.asarray(dbg["seed_evt"])[:, 0, :]
+    dec = np.asarray(dbg["dec"])[:, 0]
+    n = bm.fmi.n
+    n_rows = 0
+    with open(base + "_seeds.bed", "w") as f:
+        for t in range(T):
+            for r in range(ref_en.shape[1]):
+                if ref_en[t, r] < 0:
+                    continue
+                sa_en = int(ref_en[t, r])
+                ln = int(mc[t, r]) + K - 1
+                fwd = sa_en - ln + 1 < n // 2
+                loc = sa_en - ln + 1 if fwd else n - sa_en - K + 1
+                name, off, _ = bm.fmi.translate_loc(max(loc, 0))
+                f.write(
+                    f"{name}\t{off}\t{off + ln}\t{int(evt[t, r])}\t"
+                    f"{int(mc[t, r])}\t{'+' if fwd else '-'}\n"
+                )
+                n_rows += 1
+            if dec[t]:
+                break
+
+    ro = eng.readout(state)
+    paf = bm._finalize(slot, ro, 0)
+    return paf, n_rows
+
+
+class DebugParser:
+    """Parse dump_read() outputs back into arrays (uncalled/debug.py role)."""
+
+    def __init__(self, dbg_prefix: str, read_id: str):
+        base = dbg_prefix + read_id
+        self.events = np.loadtxt(
+            base + "_events.tsv", skiprows=1, dtype=np.float64
+        ).reshape(-1, 2)
+        seeds = []
+        with open(base + "_seeds.bed") as f:
+            for line in f:
+                name, st, en, evt, mc, strand = line.split()
+                seeds.append((name, int(st), int(en), int(evt), int(mc),
+                              strand == "+"))
+        self.seeds = seeds
+
+    def seed_clusters(self, max_evt_gap: int = 50):
+        """Greedy re-clustering of the dumped seeds (debug.py:543-652 role):
+        groups seeds whose ref/evt deltas look collinear."""
+        clusters = []
+        for name, st, en, evt, mc, fwd in sorted(self.seeds, key=lambda s: s[3]):
+            placed = False
+            for cl in clusters:
+                if cl["name"] != name or cl["fwd"] != fwd:
+                    continue
+                dre = en - cl["en"]
+                dev = evt - cl["evt"]
+                if 0 <= dre <= max(dev, 0) and dev <= max_evt_gap:
+                    cl["en"] = max(cl["en"], en)
+                    cl["evt"] = evt
+                    cl["n"] += 1
+                    cl["len"] += max(dre, 0)
+                    placed = True
+                    break
+            if not placed:
+                clusters.append(
+                    dict(name=name, st=st, en=en, evt=evt, fwd=fwd, n=1,
+                         len=en - st)
+                )
+        return sorted(clusters, key=lambda c: -c["len"])
