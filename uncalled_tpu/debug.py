@@ -16,7 +16,6 @@ import os
 
 import numpy as np
 
-from .config import Conf
 from .kmer import K
 
 

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .fmindex import CKPT, FMIndex, WORD, build_ckpt, pack_bwt
+from .fmindex import FMIndex, WORD, build_ckpt, pack_bwt
 
 OCC_INTERVAL = 0x80  # 128 bases per interleaved checkpoint in .bwt files
 

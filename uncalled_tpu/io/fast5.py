@@ -11,7 +11,7 @@ wrap mod 65536 before calibration. We reproduce that intentionally.
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

@@ -38,7 +38,6 @@ sequential oracle given the same event stream.
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
 
 import numpy as np
@@ -398,18 +397,79 @@ def _compact_idx(valid, w_out):
     """Stable-compaction *gather* indices: src[j] = index of the j-th True
     element of valid[B, W] (order preserved), ok[j] = j < count.
 
-    Replaces scatter-based compaction: positions are a monotone cumsum, so
-    the inverse mapping is a batched binary search (XLA TPU scatters
-    serialize; gathers vectorize).
+    Sort-based: a single-key sort of (index if valid else W) moves the valid
+    indices to the front in order. On TPU a sort is ~40x cheaper than the
+    equivalent batched binary search, and scatters serialize entirely.
     """
     import jax
 
     jnp = _jnp()
-    cum = jnp.cumsum(valid, axis=1, dtype=jnp.int32)
-    targets = jnp.arange(1, w_out + 1, dtype=jnp.int32)
-    idx = jax.vmap(lambda c: jnp.searchsorted(c, targets, side="left"))(cum)
-    ok = targets[None, :] <= cum[:, -1:]
-    return jnp.minimum(idx, valid.shape[1] - 1).astype(jnp.int32), ok
+    W = valid.shape[1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, valid.shape, 1)
+    key = jnp.where(valid, iota, W)
+    skey = jax.lax.sort(key, dimension=1)[:, :w_out]
+    ok = skey < W
+    return jnp.minimum(skey, W - 1), ok
+
+
+def _pack_gather(fields, idx2d):
+    """Gather many same-shape per-slot fields with ONE row gather.
+
+    TPU gather cost is dominated by the per-index overhead, not bytes: a
+    [B, W, F] row gather costs about the same as a single [B, W] scalar
+    gather (measured in docs/PERF.md), so packing F fields (f32 fields
+    bitcast to i32) saves F-1 gathers. Returns the unpacked list."""
+    import jax
+
+    jnp = _jnp()
+    i32 = jnp.int32
+    cols = []
+    kinds = []
+    for f in fields:
+        if f.dtype == jnp.float32:
+            cols.append(jax.lax.bitcast_convert_type(f, i32))
+            kinds.append("f32")
+        elif f.dtype == jnp.bool_:
+            cols.append(f.astype(i32))
+            kinds.append("bool")
+        else:
+            cols.append(f.astype(i32))
+            kinds.append("i32")
+    packed = jnp.stack(cols, axis=2)
+    g = jnp.take_along_axis(packed, idx2d[:, :, None], axis=1)
+    out = []
+    for k, kind in enumerate(kinds):
+        v = g[:, :, k]
+        if kind == "f32":
+            v = jax.lax.bitcast_convert_type(v, jnp.float32)
+        elif kind == "bool":
+            v = v.astype(bool)
+        out.append(v)
+    return out
+
+
+def _member(values, valid, n):
+    """Membership bitmap [B, n]: for each id in [0, n), is it among
+    values[valid]? Two sorts instead of scatters/binary searches:
+    candidates (id*2) and sentinels (id*2+1) sort together, so a sentinel
+    preceded by its even twin marks a present id; a second key sort lines
+    the sentinels up in id order carrying the hit flags."""
+    import jax
+
+    jnp = _jnp()
+    i32 = jnp.int32
+    B, W = values.shape
+    cand = jnp.where(valid, values * 2, 2 * n)
+    sent = jnp.broadcast_to(
+        (jnp.arange(n, dtype=i32) * 2 + 1)[None, :], (B, n)
+    )
+    keys = jnp.concatenate([cand.astype(i32), sent], axis=1)
+    sk = jax.lax.sort(keys, dimension=1)
+    prev = jnp.concatenate([jnp.full((B, 1), -1, i32), sk[:, :-1]], axis=1)
+    hit = ((sk & 1) == 1) & (prev == sk - 1)
+    k2 = jnp.where((sk & 1) == 1, sk >> 1, n)
+    _, hits = jax.lax.sort((k2, hit.astype(i32)), dimension=1, num_keys=1)
+    return hits[:, :n] > 0
 
 
 # ---------------------------------------------------------------------------
@@ -461,13 +521,11 @@ def _event_step(idx, p: EngineParams, st, ev, ev_on):
     cpar_g = jnp.minimum(cpar, P - 1)
 
     # ---- gather parent state, FM-extend the moves ----
-    cs = take(st["p_start"], cpar_g)
-    ce = take(st["p_end"], cpar_g)
-    ck = take(st["p_kmer"], cpar_g)
-    ctot = take(st["p_total"], cpar_g)
-    ccons = take(st["p_consec"], cpar_g)
-    cmvs = take(st["p_moves"], cpar_g)
-    csa = take(st["p_sa"], cpar_g)
+    cs, ce, ck, ctot, ccons, cmvs, csa = _pack_gather(
+        [st["p_start"], st["p_end"], st["p_kmer"], st["p_total"],
+         st["p_consec"], st["p_moves"], st["p_sa"]],
+        cpar_g,
+    )
     cring = jnp.take_along_axis(st["p_cum"], cpar_g[:, :, None], axis=1)  # [B,CE,RING]
     ccum = jnp.take_along_axis(cring, (ctot % RING)[:, :, None], axis=2)[:, :, 0]
 
@@ -502,16 +560,9 @@ def _event_step(idx, p: EngineParams, st, ev, ev_on):
     # a child only counts if its FM extension is valid (mapper.cpp:486-510:
     # invalid ranges are discarded before child_found is set), so scatter the
     # post-extension validity back to the parents
-    # cpar is nondecreasing (creation order), so each parent's candidates
-    # are a contiguous segment: count valid ones via prefix sums + binary
-    # search instead of a scatter
-    cumv = jnp.concatenate(
-        [jnp.zeros((B, 1), i32), jnp.cumsum(cvalid, axis=1, dtype=i32)], axis=1
-    )
-    par_ids = jnp.arange(P, dtype=i32)
-    seg_lo = jax.vmap(lambda c: jnp.searchsorted(c, par_ids, side="left"))(cpar)
-    seg_hi = jax.vmap(lambda c: jnp.searchsorted(c, par_ids, side="right"))(cpar)
-    child_any = (take(cumv, seg_hi) - take(cumv, seg_lo)) > 0
+    # a parent "has children" iff its id appears among the FM-valid
+    # candidates' parent ids (sort-based membership; scatters serialize)
+    child_any = _member(cpar_g, cvalid, P)
     # budget-cut parity: when the candidate budget fills, the reference
     # breaks out of the parent loop entirely (mapper.cpp:455-520), so
     # parents not yet reached never run their ended-seed check. A parent is
@@ -545,17 +596,12 @@ def _event_step(idx, p: EngineParams, st, ev, ev_on):
     k1s, k2s, k3s, perm = jax.lax.sort(
         (k1, k2, seedprob, iota_c), dimension=1, num_keys=3
     )
-    gs = lambda a: take(a, perm)
     svalid = k1s != INT32_MAX
     ns_s, ne_s = k1s, k2s
-    nk_s = gs(nk)
-    prob_s = gs(prob)
-    newcum_s = gs(newcum)
     seedprob_s = k3s
-    ntot_s = gs(new_tot)
-    nmoves_s = gs(nmoves)
-    ncons_s = gs(nconsec)
-    csa_s = gs(csa)
+    nk_s, prob_s, newcum_s, ntot_s, nmoves_s, ncons_s, csa_s = _pack_gather(
+        [nk, prob, newcum, new_tot, nmoves, nconsec, csa], perm
+    )
     cring_s = jnp.take_along_axis(cring, perm[:, :, None], axis=1)
 
     nxt = lambda a, fill: jnp.concatenate(
@@ -658,19 +704,8 @@ def _event_step(idx, p: EngineParams, st, ev, ev_on):
     gap_en = jnp.where(nxt_same, nxt(ns_s, 0) - 1, km_en)
     gap_v = svalid & (~dup) & kpass & (gap_st <= gap_en)
 
-    # presence of a k-mer among candidates: sort the candidate k-mer ids
-    # (single-key i32 sort; XLA TPU scatters serialize, sorts vectorize)
-    # and membership-test all 1024 k-mers by binary search
-    ksorted = jax.lax.sort(jnp.where(svalid, nk_s, KMER_COUNT), dimension=1)
-    kq = jnp.arange(KMER_COUNT, dtype=i32)
-    kpos = jax.vmap(lambda a: jnp.searchsorted(a, kq, side="left"))(ksorted)
-    present = (
-        take(
-            jnp.concatenate([ksorted, jnp.full((B, 1), KMER_COUNT, i32)], axis=1),
-            kpos,
-        )
-        == kq[None, :]
-    )
+    # presence of a k-mer among candidates (sort-based membership)
+    present = _member(nk_s, svalid, KMER_COUNT)
     full_v = (
         (~present)
         & (probs >= source_prob)
@@ -714,24 +749,20 @@ def _event_step(idx, p: EngineParams, st, ev, ev_on):
     k_src = jnp.clip(out_j - n_cands[:, None], 0, P - 1)
     src_of = take(src_src, k_src)
     src_okj = take(src_ok, k_src) & (out_j >= n_cands[:, None])
-    gc = lambda a: take(a, child_src)
-    gsrc = lambda a: take(a, src_of)
-
-    def merge(child_arr, src_arr, fill, dtype=i32):
-        return jnp.where(
-            as_child,
-            gc(child_arr).astype(dtype),
-            jnp.where(src_okj, gsrc(src_arr).astype(dtype), dtype(fill)),
-        )
-
-    onesC = jnp.ones((B, P), i32)
-    np_start = merge(ns_s, src_start, 0)
-    np_end = merge(ne_s, src_end, -1)
-    np_kmer = merge(nk_s, src_kmer, 0)
-    np_total = jnp.where(as_child, gc(ntot_s), jnp.where(src_okj, 1, 0))
-    np_consec = jnp.where(as_child, gc(ncons_s), 0)
-    np_moves = jnp.where(as_child, gc(nmoves_s), jnp.where(src_okj, 1, 0))
-    np_sa = jnp.where(as_child, gc(csa_s | seed_c), False)
+    c_start, c_end, c_kmer, c_tot, c_cons, c_mvs, c_sa = _pack_gather(
+        [ns_s, ne_s, nk_s, ntot_s, ncons_s, nmoves_s, (csa_s | seed_c)],
+        child_src,
+    )
+    s_start, s_end, s_kmer, s_prob = _pack_gather(
+        [src_start, src_end, src_kmer, src_prob], src_of
+    )
+    np_start = jnp.where(as_child, c_start, jnp.where(src_okj, s_start, 0))
+    np_end = jnp.where(as_child, c_end, jnp.where(src_okj, s_end, -1))
+    np_kmer = jnp.where(as_child, c_kmer, jnp.where(src_okj, s_kmer, 0))
+    np_total = jnp.where(as_child, c_tot, jnp.where(src_okj, 1, 0))
+    np_consec = jnp.where(as_child, c_cons, 0)
+    np_moves = jnp.where(as_child, c_mvs, jnp.where(src_okj, 1, 0))
+    np_sa = jnp.where(as_child, c_sa, False)
     # cum ring: children copy the parent ring then write the new slot;
     # sources are zeros with slot 1 = prob (total=1, slot 0 stays 0)
     new_slot = ntot_s % RING
@@ -742,7 +773,7 @@ def _event_step(idx, p: EngineParams, st, ev, ev_on):
     child_ring = jnp.take_along_axis(cring_upd, child_src[:, :, None], axis=1)
     src_ring = (
         jax.lax.broadcasted_iota(i32, (1, 1, RING), 2) == 1
-    ) * jnp.where(src_okj, gsrc(src_prob), 0.0)[:, :, None]
+    ) * jnp.where(src_okj, s_prob, 0.0)[:, :, None]
     np_cum = jnp.where(as_child[:, :, None], child_ring, src_ring).astype(
         jnp.float32
     )

@@ -30,7 +30,7 @@ cluster length >= 25 and top/mean >= 6 or top/second >= 1.85.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

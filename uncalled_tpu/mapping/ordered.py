@@ -9,8 +9,6 @@ path on recorded data.
 
 from __future__ import annotations
 
-import numpy as np
-
 from ..config import Conf
 from ..realtime.mapper import RealtimeMapper
 

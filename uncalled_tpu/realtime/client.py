@@ -8,7 +8,6 @@ clear error only when the client is actually constructed.
 
 from __future__ import annotations
 
-import sys
 import time
 
 import numpy as np

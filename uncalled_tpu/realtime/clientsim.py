@@ -16,7 +16,7 @@ from __future__ import annotations
 import sys
 import time as _time
 from collections import deque
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

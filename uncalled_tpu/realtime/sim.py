@@ -17,8 +17,6 @@ import os
 import sys
 import time
 
-import numpy as np
-
 from ..config import Conf
 from .clientsim import ClientSim
 
