@@ -52,3 +52,66 @@ def test_engine_batch_slots_recycle(bmap, make_read, golden_reads, golden_pafs):
 @pytest.mark.slow
 def test_engine_paf_identical_all(bmap, make_read, golden_reads, golden_pafs):
     run(bmap, make_read, golden_reads, golden_pafs, list(golden_pafs))
+
+
+def test_tracker_stats_parity_on_contested_stream():
+    """Tracker bookkeeping (live clusters, all_lens, len_sum, max_map) must
+    match the oracle on a stream where clusters compete for the same seeds.
+
+    Note: the reference's set-reinsertion "collision" branch
+    (oracle.py:168-173) appears unreachable -- the first cluster reaching a
+    key is always re-picked unless a strictly larger one exists, which would
+    have been picked first. The engine carries an equivalent defensive
+    zombie flag (cl_count) that stays a no-op when the branch never fires;
+    this test pins the shared-path statistics."""
+    import jax
+    import jax.numpy as jnp
+
+    from uncalled_tpu.config import SeedTrackerParams
+    from uncalled_tpu.mapping.engine import (
+        EngineParams, _tracker_add, _tracker_decide, make_state,
+    )
+    from uncalled_tpu.mapping.oracle import SeedTracker
+
+    # seed stream engineered to collide: two clusters get updated to the
+    # same (ref_en_start, evt_en) key within one event
+    stream = [
+        (1000, 10, 30),   # cluster A
+        (2000, 10, 30),   # cluster B
+        (1020, 12, 40),   # A grows
+        (2020, 12, 40),   # B grows
+        (1040, 31, 50),   # A updated: ref_en_start = 1040-31+1 = 1010
+        (2070, 1061, 50), # B updated to ref_en_start 1010, evt 50 -> collision
+        (1500, 20, 55),
+        (1060, 15, 60),
+    ]
+    oracle = SeedTracker(SeedTrackerParams())
+    for ref_en, mc, evt in stream:
+        oracle.add_seed(ref_en, mc, evt)
+
+    p = EngineParams(B=1, P=8, C=8, CL=16, R=4)
+    st = make_state(p)
+    ts = {k: st[k] for k in (
+        "cl_valid", "cl_count", "cl_ref_st", "cl_r1", "cl_r2e", "cl_evt_st",
+        "cl_evt_en", "cl_total", "len_sum", "n_cl",
+        "mm_len", "mm_ref_st", "mm_r1", "mm_r2e", "mm_evt_st", "mm_evt_en",
+    )}
+    ok = jnp.ones((1,), bool)
+    for ref_en, mc, evt in stream:
+        ts = _tracker_add(
+            p, ts, jnp.full((1,), ref_en, jnp.int32),
+            jnp.full((1,), mc, jnp.int32), jnp.full((1,), evt, jnp.int32), ok,
+        )
+
+    # live cluster count matches the set size; counted lengths match all_lens
+    assert int(ts["n_cl"][0]) == len(oracle.clusters)
+    eng_lens = sorted(
+        int(t) for t, c in zip(
+            np.asarray(ts["cl_total"][0]), np.asarray(ts["cl_count"][0])
+        ) if c
+    )
+    assert eng_lens == sorted(oracle.all_lens)
+    assert float(ts["len_sum"][0]) == oracle.len_sum
+    assert int(ts["mm_len"][0]) == (oracle.max_map.total_len if oracle.max_map else 0)
+    # no collision fired (believed unreachable): counted == live
+    assert int(np.asarray(ts["cl_count"][0]).sum()) == int(ts["n_cl"][0])

@@ -139,8 +139,12 @@ def make_state(p: EngineParams):
         "p_moves": z(B, P),
         "p_sa": jnp.zeros((B, P), bool),
         "p_cum": jnp.zeros((B, P, p.seed_len + 1), f32),  # cumulative-sum ring
-        # seed-cluster table
+        # seed-cluster table; cl_valid = in the reference's std::set
+        # (matchable), cl_count = its length still lives in all_lens
+        # ("zombie" clusters lost to the set-reinsertion key collision,
+        # seed_tracker.cpp via oracle.py:168-173, keep counting there)
         "cl_valid": jnp.zeros((B, CL), bool),
+        "cl_count": jnp.zeros((B, CL), bool),
         "cl_ref_st": z(B, CL),
         "cl_r1": z(B, CL),  # ref_en range start
         "cl_r2e": z(B, CL),  # ref_en range end
@@ -332,20 +336,36 @@ def _tracker_add(p: EngineParams, st, ref_en, mc, evt, row_ok):
     new_tot = jnp.where(onehot, tot + growth, tot)
     upd_len = jnp.sum(jnp.where(onehot, growth, 0), axis=1)  # growth of match
 
-    # insertion of a fresh cluster when no match: pick a free slot, else evict
-    # the smallest cluster (approximation of the reference's unbounded set)
+    # set-reinsertion collision quirk (oracle.py:168-173): the updated
+    # cluster's new key (r2, e2) may equal another live cluster's key; the
+    # reference's std::set then silently DROPS the updated cluster, but its
+    # length stays in all_lens and len_sum. Model it as a "zombie": not
+    # matchable (cl_valid=False), still counted for second-max (cl_count).
+    occupied = st["cl_count"]
+    coll = jnp.any(
+        v
+        & (~onehot)
+        & (r1 == r2[:, None])
+        & (e1 == e2[:, None]),
+        axis=1,
+    )
+    lost = any_match & coll
+
+    # insertion of a fresh cluster when no match: pick a free slot, else
+    # evict the smallest occupant (approximation of the unbounded set)
     do_insert = row_ok & ~any_match
-    free = ~v
+    free = ~occupied
     evict_key = jnp.where(free, NEG, tot)  # prefer free, else min length
     ins_idx = jnp.argmin(evict_key, axis=1)
     ins1h = (
         jax.lax.broadcasted_iota(i32, (1, CL), 1) == ins_idx[:, None]
     ) & do_insert[:, None]
-    evicted_len = jnp.sum(jnp.where(ins1h & v, tot, 0), axis=1)
+    evicted_len = jnp.sum(jnp.where(ins1h & occupied, tot, 0), axis=1)
     evicted_n = jnp.sum(jnp.where(ins1h & v, 1, 0), axis=1)
 
     out = dict(st)
-    out["cl_valid"] = v | ins1h
+    out["cl_valid"] = (v & ~(lost[:, None] & onehot) & ~ins1h) | ins1h
+    out["cl_count"] = occupied | ins1h
     out["cl_r1"] = jnp.where(ins1h, r2[:, None], new_r1)
     out["cl_r2e"] = jnp.where(ins1h, r2e[:, None], new_r2e)
     out["cl_ref_st"] = jnp.where(ins1h, r2[:, None], st["cl_ref_st"])
@@ -359,7 +379,12 @@ def _tracker_add(p: EngineParams, st, ref_en, mc, evt, row_ok):
         + jnp.where(do_insert, mc, 0).astype(f32)
         - evicted_len.astype(f32)
     )
-    out["n_cl"] = st["n_cl"] + jnp.where(do_insert, 1, 0) - evicted_n
+    out["n_cl"] = (
+        st["n_cl"]
+        + jnp.where(do_insert, 1, 0)
+        - evicted_n
+        - jnp.where(lost, 1, 0)
+    )
 
     # max_map: replace when a cluster's length changed and exceeds it
     # (reference updates only on total_len change; growth==0 updates skip)
@@ -660,8 +685,8 @@ def _event_step(idx, p: EngineParams, st, ev, ev_on):
     tstate = {
         k: st[k]
         for k in (
-            "cl_valid", "cl_ref_st", "cl_r1", "cl_r2e", "cl_evt_st",
-            "cl_evt_en", "cl_total", "len_sum", "n_cl",
+            "cl_valid", "cl_count", "cl_ref_st", "cl_r1", "cl_r2e",
+            "cl_evt_st", "cl_evt_en", "cl_total", "len_sum", "n_cl",
             "mm_len", "mm_ref_st", "mm_r1", "mm_r2e", "mm_evt_st", "mm_evt_en",
         )
     }
@@ -849,7 +874,7 @@ def _tracker_decide(p: EngineParams, st):
     import jax
 
     NEG = jnp.int32(-(2**30))
-    tot = jnp.where(st["cl_valid"], st["cl_total"], NEG)
+    tot = jnp.where(st["cl_count"], st["cl_total"], NEG)
     CL = tot.shape[1]
     first_i = jnp.argmax(tot, axis=1)
     masked = jnp.where(
@@ -860,7 +885,8 @@ def _tracker_decide(p: EngineParams, st):
     second = jnp.max(masked, axis=1)
     top = st["mm_len"].astype(jnp.float32)
     mean = st["len_sum"] / st["n_cl"].astype(jnp.float32)
-    ok = (st["mm_len"] >= p.min_aln_len) & (st["n_cl"] >= 2)
+    n_lens = jnp.sum(st["cl_count"], axis=1)  # all_lens incl. zombies
+    ok = (st["mm_len"] >= p.min_aln_len) & (n_lens >= 2)
     conf = jnp.zeros_like(ok)
     if p.min_mean_conf > 0:
         conf |= top / mean >= p.min_mean_conf
