@@ -670,12 +670,14 @@ def _event_step(idx, p: EngineParams, st, ev, ev_on):
     )(g_cum).astype(i32)  # [B, R]
     grp = jnp.minimum(grp, P + CE - 1)
     row_ok = (row_ids[None, :] < total_rows[:, None]) & alive[:, None]
-    g_pos = jnp.where(grp > 0, take(g_cum, jnp.maximum(grp - 1, 0)), 0)
-    sa_row = take(g_st, grp) + (row_ids[None, :] - g_pos)
+    g_cum_prev, g_st_g, row_mc, row_evt = _pack_gather(
+        [jnp.concatenate([jnp.zeros((B, 1), i32), g_cum[:, :-1]], axis=1),
+         g_st, g_mc, g_evt],
+        grp,
+    )
+    sa_row = g_st_g + (row_ids[None, :] - g_cum_prev)
     sa_row = jnp.clip(sa_row, 0, n)
     ref_en = n - idx["sa"][sa_row]
-    row_mc = take(g_mc, grp)
-    row_evt = take(g_evt, grp)
 
     def add_row(r, tstate):
         return _tracker_add(
