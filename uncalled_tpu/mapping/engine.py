@@ -104,11 +104,21 @@ class EngineParams:
 def device_index(fmi, threshes, model):
     """Static device arrays for one index + model + threshold preset."""
     jnp = _jnp()
+    # interleaved occ buckets (the BWA layout, adapted for row gathers):
+    # row b = [ckpt_A, ckpt_C, ckpt_G, ckpt_T, word0, word1] for the 32-base
+    # block b, so one [*, 6] row gather answers an occ query that would
+    # otherwise need 3 separate gathers (TPU gather cost is per-index)
+    import numpy as _np
+
+    nb = (fmi.n + 31) // 32
+    words = _np.zeros(2 * nb, dtype=_np.uint32)
+    words[: len(fmi.bwt_words)] = fmi.bwt_words
+    occ_rows = _np.zeros((nb, 6), dtype=_np.int32)
+    occ_rows[:, :4] = fmi.ckpt[:nb]
+    occ_rows[:, 4] = words[0::2].view(_np.int32)
+    occ_rows[:, 5] = words[1::2].view(_np.int32)
     return {
-        "bwt_words": jnp.asarray(fmi.bwt_words, dtype=jnp.uint32),
-        # flattened [nb+1, 4] -> [(nb+1)*4]: 2D fancy-index gathers take
-        # minutes to compile on TPU Mosaic; 1D takes compile in <1s
-        "ckpt": jnp.asarray(fmi.ckpt, dtype=jnp.int32).reshape(-1),
+        "occ_rows": jnp.asarray(occ_rows),
         "sa": jnp.asarray(fmi.sa_full, dtype=jnp.int32),
         "kmer_st": jnp.asarray(fmi.kmer_ranges[:, 0], dtype=jnp.int32),
         "kmer_en": jnp.asarray(fmi.kmer_ranges[:, 1], dtype=jnp.int32),
@@ -207,20 +217,22 @@ def _occ(idx, k, c):
     i32, u32 = jnp.int32, jnp.uint32
     n, primary = idx["n"], idx["primary"]
 
+    import jax
+
     is_neg = k < 0
     is_full = k >= n
     kk = jnp.where(k >= primary, k - 1, k)
     kk = jnp.clip(kk, 0, n - 1)
 
-    blk = kk >> 5  # 32 bases per checkpoint
-    base_cnt = jnp.take(idx["ckpt"], (blk << 2) + c)
+    blk = kk >> 5  # 32 bases per interleaved bucket
+    row = jnp.take(idx["occ_rows"], blk, axis=0)  # [*, 6] bucket row gather
+    base_cnt = jnp.take_along_axis(row, c[..., None], axis=-1)[..., 0]
 
     rem = kk & 31
-    w0 = blk << 1
     pat = (c.astype(u32) * u32(_EVEN)).astype(u32)
 
-    def count_word(w, inc):
-        x = idx["bwt_words"][w] ^ pat
+    def count_word(word_i32, inc):
+        x = jax.lax.bitcast_convert_type(word_i32, u32) ^ pat
         m = (~x) & ((~x) >> u32(1)) & u32(_EVEN)
         # include the first `inc` (MSB-first) bases of the word
         full = inc >= 16
@@ -228,11 +240,9 @@ def _occ(idx, k, c):
         sh = (u32(16) - jnp.clip(inc, 0, 16).astype(u32)) * u32(2)
         pm = jnp.where(none, u32(0), u32(0xFFFFFFFF) << sh)
         pm = jnp.where(full, u32(0xFFFFFFFF), pm)
-        import jax
-
         return jax.lax.population_count(m & pm).astype(i32)
 
-    cnt = count_word(w0, rem + 1) + count_word(w0 + 1, rem - 15)
+    cnt = count_word(row[..., 4], rem + 1) + count_word(row[..., 5], rem - 15)
 
     out = base_cnt + cnt
     full_cnt = idx["L2"][c + 1] - idx["L2"][c]
