@@ -80,6 +80,9 @@ class EngineParams:
     min_top_conf: float = 1.85
     # parity: evaluate match probs through f64 like the reference
     exact_probs: bool = True
+    # route small-table gathers through the Pallas MXU one-hot kernel
+    # (ops/mxu_gather.py); bit-exact, so goldens validate either path
+    mxu: bool = False
 
     @staticmethod
     def from_conf(conf: Conf, **over) -> "EngineParams":
@@ -122,6 +125,7 @@ def device_index(fmi, threshes, model):
         "sa": jnp.asarray(fmi.sa_full, dtype=jnp.int32),
         "kmer_st": jnp.asarray(fmi.kmer_ranges[:, 0], dtype=jnp.int32),
         "kmer_en": jnp.asarray(fmi.kmer_ranges[:, 1], dtype=jnp.int32),
+        "kmer_rng2": jnp.asarray(fmi.kmer_ranges[:, :2], dtype=jnp.int32),
         "L2": jnp.asarray(fmi.L2, dtype=jnp.int32),
         "threshes": jnp.asarray(threshes, dtype=jnp.float32),
         "means": jnp.asarray(model.means, dtype=jnp.float32),
@@ -226,7 +230,10 @@ def _occ(idx, k, c):
 
     blk = kk >> 5  # 32 bases per interleaved bucket
     row = jnp.take(idx["occ_rows"], blk, axis=0)  # [*, 6] bucket row gather
-    base_cnt = jnp.take_along_axis(row, c[..., None], axis=-1)[..., 0]
+    # pick the base's checkpoint by one-hot sum (4 lanes; a take_along_axis
+    # here would pay the per-index gather cost again)
+    oh4 = c[..., None] == jnp.arange(4, dtype=i32)
+    base_cnt = jnp.sum(jnp.where(oh4, row[..., :4], 0), axis=-1)
 
     rem = kk & 31
     pat = (c.astype(u32) * u32(_EVEN)).astype(u32)
@@ -245,7 +252,8 @@ def _occ(idx, k, c):
     cnt = count_word(row[..., 4], rem + 1) + count_word(row[..., 5], rem - 15)
 
     out = base_cnt + cnt
-    full_cnt = idx["L2"][c + 1] - idx["L2"][c]
+    l2diff = idx["L2"][1:5] - idx["L2"][0:4]  # per-base totals, [4]
+    full_cnt = jnp.sum(jnp.where(oh4, l2diff, 0), axis=-1)
     out = jnp.where(is_full, full_cnt, out)
     out = jnp.where(is_neg, 0, out)
     return out
@@ -253,9 +261,11 @@ def _occ(idx, k, c):
 
 def _extend(idx, start, end, base):
     """Backward-extend FM intervals (bwa_index.hpp:158-162)."""
+    jnp = _jnp()
     os_ = _occ(idx, start - 1, base)
     oe = _occ(idx, end, base)
-    L2b = idx["L2"][base]
+    oh4 = base[..., None] == jnp.arange(4, dtype=jnp.int32)
+    L2b = jnp.sum(jnp.where(oh4, idx["L2"][:4], 0), axis=-1)
     return L2b + os_ + 1, L2b + oe
 
 
@@ -447,13 +457,17 @@ def _compact_idx(valid, w_out):
     return jnp.minimum(skey, W - 1), ok
 
 
-def _pack_gather(fields, idx2d):
+def _pack_gather(fields, idx2d, rings=(), mxu=False):
     """Gather many same-shape per-slot fields with ONE row gather.
 
     TPU gather cost is dominated by the per-index overhead, not bytes: a
     [B, W, F] row gather costs about the same as a single [B, W] scalar
     gather (measured in docs/PERF.md), so packing F fields (f32 fields
-    bitcast to i32) saves F-1 gathers. Returns the unpacked list."""
+    bitcast to i32) saves F-1 gathers.  ``rings`` are [B, W, R] f32
+    arrays packed as R extra columns each (the seed-prob cum rings ride
+    along for free).  With ``mxu`` the row gather runs on the Pallas MXU
+    one-hot kernel (bit-exact).  Returns the unpacked field list followed
+    by the gathered rings."""
     import jax
 
     jnp = _jnp()
@@ -470,17 +484,67 @@ def _pack_gather(fields, idx2d):
         else:
             cols.append(f.astype(i32))
             kinds.append("i32")
+    ring_slices = []
+    for r in rings:
+        r32 = jax.lax.bitcast_convert_type(r.astype(jnp.float32), i32)
+        ring_slices.append((len(cols), r32.shape[2]))
+        cols.extend(r32[:, :, j] for j in range(r32.shape[2]))
     packed = jnp.stack(cols, axis=2)
-    g = jnp.take_along_axis(packed, idx2d[:, :, None], axis=1)
+    if mxu:
+        from ..ops.mxu_gather import row_gather_fields
+
+        gcols = row_gather_fields(packed, idx2d, force=True)
+    else:
+        g3 = jnp.take_along_axis(packed, idx2d[:, :, None], axis=1)
+        gcols = [g3[:, :, k] for k in range(packed.shape[2])]
     out = []
     for k, kind in enumerate(kinds):
-        v = g[:, :, k]
+        v = gcols[k]
         if kind == "f32":
             v = jax.lax.bitcast_convert_type(v, jnp.float32)
         elif kind == "bool":
             v = v.astype(bool)
         out.append(v)
+    for at, width in ring_slices:
+        out.append(
+            jax.lax.bitcast_convert_type(
+                jnp.stack(gcols[at : at + width], axis=2), jnp.float32
+            )
+        )
     return out
+
+
+def _row_gather(tbl, idx2d, mxu=False):
+    """Single-field row gather, MXU-routed when enabled (bit-exact)."""
+    jnp = _jnp()
+    if mxu:
+        from ..ops.mxu_gather import row_gather
+
+        return row_gather(tbl, idx2d, force=True)
+    return jnp.take_along_axis(tbl, idx2d, axis=1)
+
+
+def _shared_gather(tbl, idx2d, mxu=False):
+    """Shared-table gather ``tbl[idx2d]``, MXU-routed when enabled."""
+    jnp = _jnp()
+    if mxu:
+        from ..ops.mxu_gather import shared_gather
+
+        return shared_gather(tbl, idx2d, force=True)
+    return jnp.take(tbl, jnp.clip(idx2d, 0, tbl.shape[0] - 1), axis=0)
+
+
+def _ring_read(ring, slot):
+    """ring[b, k, slot[b, k]] without a gather: one-hot sum over the ring
+    axis (RING=23 lanes; exactly one nonzero term, so f32-exact)."""
+    import jax
+
+    jnp = _jnp()
+    RING = ring.shape[2]
+    oh = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, 1, RING), 2) == slot[:, :, None]
+    )
+    return jnp.sum(jnp.where(oh, ring, 0.0), axis=2)
 
 
 def _member(values, valid, n):
@@ -530,16 +594,17 @@ def _event_step(idx, p: EngineParams, st, ev, ev_on):
 
     alive = (~st["done"]) & ev_on
     probs = _match_probs(idx, ev, p.exact_probs)  # [B, 1024]
-    take = lambda tbl, ix: jnp.take_along_axis(tbl, ix, axis=1)
 
     # ---- candidate flags in creation order (stay, then moves A..T) ----
     pv = st["p_total"] > 0
     fmlen = st["p_end"] - st["p_start"] + 1
-    thresh = idx["threshes"][_fm_bin(fmlen)]
-    stay_p = take(probs, st["p_kmer"])
-    stay_f = pv & (st["p_consec"] < p.max_consec_stay) & (stay_p >= thresh)
+    thresh = _shared_gather(idx["threshes"], _fm_bin(fmlen), p.mxu)
     nk4 = ((st["p_kmer"][:, :, None] << 2) & KMASK) | jnp.arange(4, dtype=i32)
-    mv_p = take(probs, nk4.reshape(B, P * 4)).reshape(B, P, 4)
+    allk = jnp.concatenate([st["p_kmer"], nk4.reshape(B, P * 4)], axis=1)
+    allp = _row_gather(probs, allk, p.mxu)  # [B, 5P] stay + move probs
+    stay_p = allp[:, :P]
+    mv_p = allp[:, P:].reshape(B, P, 4)
+    stay_f = pv & (st["p_consec"] < p.max_consec_stay) & (stay_p >= thresh)
     # polarity parity: the reference skips a move when prob < thresh
     # (mapper.cpp:489), so a NaN threshold (possible in fitted .uncl files,
     # parsed by C++ stof) ACCEPTS all moves while the stay's `>=` gate
@@ -556,13 +621,14 @@ def _event_step(idx, p: EngineParams, st, ev, ev_on):
     cpar_g = jnp.minimum(cpar, P - 1)
 
     # ---- gather parent state, FM-extend the moves ----
-    cs, ce, ck, ctot, ccons, cmvs, csa = _pack_gather(
+    cs, ce, ck, ctot, ccons, cmvs, csa, cring = _pack_gather(
         [st["p_start"], st["p_end"], st["p_kmer"], st["p_total"],
          st["p_consec"], st["p_moves"], st["p_sa"]],
         cpar_g,
+        rings=[st["p_cum"]],
+        mxu=p.mxu,
     )
-    cring = jnp.take_along_axis(st["p_cum"], cpar_g[:, :, None], axis=1)  # [B,CE,RING]
-    ccum = jnp.take_along_axis(cring, (ctot % RING)[:, :, None], axis=2)[:, :, 0]
+    ccum = _ring_read(cring, ctot % RING)
 
     is_mv = move >= 1
     base = jnp.clip(move - 1, 0, 3)
@@ -577,11 +643,11 @@ def _event_step(idx, p: EngineParams, st, ev, ev_on):
     cvalid = cv_fm & (vpos < C)
     total_valid_fm = jnp.sum(cv_fm.astype(i32), axis=1)
 
-    prob = take(probs, nk)
+    prob = _row_gather(probs, nk, p.mxu)
     new_tot = ctot + 1
     newcum = ccum + prob  # f32, same op order as sums_[l] = sums_[l-1]+prob
     wslot = jnp.where(new_tot >= SL, (new_tot - SL) % RING, 0)
-    wstart = jnp.take_along_axis(cring, wslot[:, :, None], axis=2)[:, :, 0]
+    wstart = _ring_read(cring, wslot)
     seedprob = jnp.where(
         new_tot >= SL,
         (newcum - wstart) / f32(SL),
@@ -605,7 +671,7 @@ def _event_step(idx, p: EngineParams, st, ev, ev_on):
     # first slot (valid count at its compacted flag position).
     k_i = pos[:, ::5]  # compacted position of each parent's stay slot
     vpos_pad = jnp.concatenate([vpos, total_valid_fm[:, None]], axis=1)
-    vb = take(vpos_pad, jnp.minimum(k_i, CE))
+    vb = _row_gather(vpos_pad, jnp.minimum(k_i, CE), p.mxu)
     reached = (k_i < CE) & (vb < C)
     pmc = jax.lax.population_count(st["p_moves"]).astype(i32)
     pseedprob = _path_seedprob(p, st)
@@ -634,10 +700,14 @@ def _event_step(idx, p: EngineParams, st, ev, ev_on):
     svalid = k1s != INT32_MAX
     ns_s, ne_s = k1s, k2s
     seedprob_s = k3s
-    nk_s, prob_s, newcum_s, ntot_s, nmoves_s, ncons_s, csa_s = _pack_gather(
-        [nk, prob, newcum, new_tot, nmoves, nconsec, csa], perm
+    nk_s, prob_s, newcum_s, ntot_s, nmoves_s, ncons_s, csa_s, cring_s = (
+        _pack_gather(
+            [nk, prob, newcum, new_tot, nmoves, nconsec, csa],
+            perm,
+            rings=[cring],
+            mxu=p.mxu,
+        )
     )
-    cring_s = jnp.take_along_axis(cring, perm[:, :, None], axis=1)
 
     nxt = lambda a, fill: jnp.concatenate(
         [a[:, 1:], jnp.full((B, 1), fill, a.dtype)], axis=1
@@ -675,15 +745,18 @@ def _event_step(idx, p: EngineParams, st, ev, ev_on):
     g_cum = jnp.cumsum(g_rows, axis=1, dtype=i32)
     total_rows = g_cum[:, -1]
     row_ids = jnp.arange(R, dtype=i32)
-    grp = jax.vmap(
-        lambda cums: jnp.searchsorted(cums, row_ids, side="right")
-    )(g_cum).astype(i32)  # [B, R]
+    # searchsorted(g_cum, r, side="right") == #elements <= r: a compare-
+    # count beats the binary search's 12 serial gather rounds on TPU
+    grp = jnp.sum(
+        (g_cum[:, :, None] <= row_ids[None, None, :]).astype(i32), axis=1
+    )  # [B, R]
     grp = jnp.minimum(grp, P + CE - 1)
     row_ok = (row_ids[None, :] < total_rows[:, None]) & alive[:, None]
     g_cum_prev, g_st_g, row_mc, row_evt = _pack_gather(
         [jnp.concatenate([jnp.zeros((B, 1), i32), g_cum[:, :-1]], axis=1),
          g_st, g_mc, g_evt],
         grp,
+        mxu=p.mxu,
     )
     sa_row = g_st_g + (row_ids[None, :] - g_cum_prev)
     sa_row = jnp.clip(sa_row, 0, n)
@@ -730,8 +803,9 @@ def _event_step(idx, p: EngineParams, st, ev, ev_on):
 
     _, run_end = jax.lax.associative_scan(_segmax, (seg_id, ne_s), axis=1)
 
-    km_st = idx["kmer_st"][nk_s]
-    km_en = idx["kmer_en"][nk_s]
+    km_rng = _shared_gather(idx["kmer_rng2"], nk_s, p.mxu)  # [B, CE, 2]
+    km_st = km_rng[:, :, 0]
+    km_en = km_rng[:, :, 1]
     head_st = km_st
     head_en = ns_s - 1
     head_v = first_seg & kpass & (head_st <= head_en)
@@ -784,14 +858,25 @@ def _event_step(idx, p: EngineParams, st, ev, ev_on):
     out_j = jnp.arange(P, dtype=i32)[None, :]
     as_child = child_ok
     k_src = jnp.clip(out_j - n_cands[:, None], 0, P - 1)
-    src_of = take(src_src, k_src)
-    src_okj = take(src_ok, k_src) & (out_j >= n_cands[:, None])
-    c_start, c_end, c_kmer, c_tot, c_cons, c_mvs, c_sa = _pack_gather(
-        [ns_s, ne_s, nk_s, ntot_s, ncons_s, nmoves_s, (csa_s | seed_c)],
-        child_src,
+    src_of, src_hit = _pack_gather([src_src, src_ok], k_src, mxu=p.mxu)
+    src_okj = src_hit & (out_j >= n_cands[:, None])
+    # children copy the parent ring with the new slot written; the updated
+    # ring rides the same packed gather as the scalar fields
+    new_slot = ntot_s % RING
+    ring_iota = jax.lax.broadcasted_iota(i32, (B, CE, RING), 2)
+    cring_upd = jnp.where(
+        ring_iota == new_slot[:, :, None], newcum_s[:, :, None], cring_s
+    )
+    c_start, c_end, c_kmer, c_tot, c_cons, c_mvs, c_sa, child_ring = (
+        _pack_gather(
+            [ns_s, ne_s, nk_s, ntot_s, ncons_s, nmoves_s, (csa_s | seed_c)],
+            child_src,
+            rings=[cring_upd],
+            mxu=p.mxu,
+        )
     )
     s_start, s_end, s_kmer, s_prob = _pack_gather(
-        [src_start, src_end, src_kmer, src_prob], src_of
+        [src_start, src_end, src_kmer, src_prob], src_of, mxu=p.mxu
     )
     np_start = jnp.where(as_child, c_start, jnp.where(src_okj, s_start, 0))
     np_end = jnp.where(as_child, c_end, jnp.where(src_okj, s_end, -1))
@@ -800,14 +885,9 @@ def _event_step(idx, p: EngineParams, st, ev, ev_on):
     np_consec = jnp.where(as_child, c_cons, 0)
     np_moves = jnp.where(as_child, c_mvs, jnp.where(src_okj, 1, 0))
     np_sa = jnp.where(as_child, c_sa, False)
-    # cum ring: children copy the parent ring then write the new slot;
-    # sources are zeros with slot 1 = prob (total=1, slot 0 stays 0)
-    new_slot = ntot_s % RING
-    ring_iota = jax.lax.broadcasted_iota(i32, (B, CE, RING), 2)
-    cring_upd = jnp.where(
-        ring_iota == new_slot[:, :, None], newcum_s[:, :, None], cring_s
-    )
-    child_ring = jnp.take_along_axis(cring_upd, child_src[:, :, None], axis=1)
+    # cum ring: children copied the parent ring (with the new slot written)
+    # in the packed gather above; sources are zeros with slot 1 = prob
+    # (total=1, slot 0 stays 0)
     src_ring = (
         jax.lax.broadcasted_iota(i32, (1, 1, RING), 2) == 1
     ) * jnp.where(src_okj, s_prob, 0.0)[:, :, None]
@@ -863,11 +943,9 @@ def _path_seedprob(p: EngineParams, st):
     SL = p.seed_len
     RING = SL + 1
     tot = st["p_total"]
-    cum_now = jnp.take_along_axis(st["p_cum"], (tot % RING)[:, :, None], axis=2)[
-        :, :, 0
-    ]
+    cum_now = _ring_read(st["p_cum"], tot % RING)
     wslot = jnp.where(tot >= SL, (tot - SL) % RING, 0)
-    wstart = jnp.take_along_axis(st["p_cum"], wslot[:, :, None], axis=2)[:, :, 0]
+    wstart = _ring_read(st["p_cum"], wslot)
     return jnp.where(
         tot >= SL,
         (cum_now - wstart) / jnp.float32(SL),
@@ -943,6 +1021,7 @@ class MapEngine:
         import jax
 
         self.conf = conf or Conf()
+        over.setdefault("mxu", jax.default_backend() == "tpu")
         self.params = EngineParams.from_conf(self.conf, **over)
         self.fmi = fmi
         self.model = model
