@@ -54,6 +54,32 @@ def test_engine_paf_identical_all(bmap, make_read, golden_reads, golden_pafs):
     run(bmap, make_read, golden_reads, golden_pafs, list(golden_pafs))
 
 
+def test_remap_ladder_restores_parity(
+    example_index, example_threshes, pore_model, make_read, golden_reads,
+    golden_pafs,
+):
+    """Absurdly narrow budgets must trip the overflow flag and the wide
+    remap pass must still deliver byte-identical PAF output."""
+    conf = Conf()
+    conf.engine.batch_reads = 4
+    conf.engine.wide_batch = 4
+    conf.engine.wide_paths = 1024  # proven-parity budget (fast on CPU)
+    conf.engine.wide_seed_rows = 48
+    conf.engine.wide_clusters = 128
+    bm = BatchMapper(
+        example_index, pore_model, example_threshes, conf,
+        P=32, C=32, R=4, CL=8,
+    )
+    reads = [make_read(r, golden_reads[r]) for r in FAST_SUBSET]
+    pafs = list(bm.map_reads(reads))
+    assert len(pafs) == len(FAST_SUBSET)
+    # the narrow run must actually have overflowed (else the test is vacuous)
+    assert bm._wide_mapper is not None
+    got = {p.rd_name: p.to_line() for p in pafs}
+    for rid in FAST_SUBSET:
+        assert got[rid] == golden_pafs[rid], rid
+
+
 def test_tracker_stats_parity_on_contested_stream():
     """Tracker bookkeeping (live clusters, all_lens, len_sum, max_map) must
     match the oracle on a stream where clusters compete for the same seeds.

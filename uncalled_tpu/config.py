@@ -124,6 +124,15 @@ class EngineParams:
     max_clusters: int = 384  # seed-cluster table capacity per read
     evt_block: int = 64  # events advanced per jitted super-step
     signal_block: int = 4096  # samples per event-detection block
+    # remap ladder: reads whose engine run trips ANY fixed budget (path /
+    # candidate / seed-row / cluster capacity) are re-mapped on a wide
+    # engine at the reference's exact max_paths, so the narrow budgets are
+    # a throughput optimization, never a semantics change
+    remap_wide: bool = True
+    wide_paths: int = 10000  # = reference mapper.max_paths default
+    wide_batch: int = 4
+    wide_seed_rows: int = 256
+    wide_clusters: int = 1024
 
 
 @dataclass

@@ -56,12 +56,29 @@ class BatchMapper:
     """Map an iterable of reads, yielding Paf records (order of completion)."""
 
     def __init__(self, fmi, model, threshes, conf: Conf | None = None,
-                 emit_timing: bool = False, **over):
+                 emit_timing: bool = False, _wide: bool = False, **over):
         self.conf = conf or Conf()
         self.eng = MapEngine(fmi, model, threshes, self.conf, **over)
         self.fmi = fmi
+        self.model = model
+        self.threshes = threshes
         self.T = self.conf.engine.evt_block
         self.emit_timing = emit_timing
+        self._wide = _wide
+        self._wide_mapper = None
+
+    def _get_wide(self) -> "BatchMapper":
+        """Wide-parity engine (reference max_paths budgets) for reads whose
+        narrow run tripped a budget; built lazily, cached."""
+        if self._wide_mapper is None:
+            en = self.conf.engine
+            self._wide_mapper = BatchMapper(
+                self.fmi, self.model, self.threshes, self.conf,
+                emit_timing=self.emit_timing, _wide=True,
+                B=en.wide_batch, P=en.wide_paths, C=en.wide_paths,
+                R=en.wide_seed_rows, CL=en.wide_clusters,
+            )
+        return self._wide_mapper
 
     # ------------------------------------------------------------- events
     def _prepare(self, read) -> _Slot:
@@ -153,6 +170,9 @@ class BatchMapper:
                 state = self.eng.reset_slots(state, mask)
             return state
 
+        remap = self.conf.engine.remap_wide and not self._wide
+        overflowed = []
+
         state = refill(state)
         while pending:
             means = np.zeros((B, T), np.float32)
@@ -171,7 +191,15 @@ class BatchMapper:
                     continue
                 exhausted = s.fed >= len(s.means)
                 if ro["done"][b] or exhausted:
-                    yield self._finalize(s, ro, b)
+                    if remap and ro["ovf"][b]:
+                        overflowed.append(s.read)
+                    else:
+                        yield self._finalize(s, ro, b)
                     slots[b] = None
                     pending -= 1
             state = refill(state)
+
+        if overflowed:
+            # wide remap pass: reads that tripped a narrow budget rerun at
+            # the reference's exact max_paths budgets (mapper.cpp:83-86)
+            yield from self._get_wide().map_reads(overflowed)

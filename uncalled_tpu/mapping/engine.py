@@ -180,6 +180,10 @@ def make_state(p: EngineParams):
         "done": jnp.ones((B,), bool),  # empty slots start done
         "success": jnp.zeros((B,), bool),
         "dec_evt": z(B),  # event index at decision
+        # sticky budget-overflow flag: set whenever a fixed budget (CE, C,
+        # P, R, CL) cut work the reference would have done; such reads are
+        # re-mapped on the wide-parity engine (batch.py remap ladder)
+        "ovf": jnp.zeros((B,), bool),
     }
 
 
@@ -384,6 +388,10 @@ def _tracker_add(p: EngineParams, st, ref_en, mc, evt, row_ok):
     evicted_n = jnp.sum(jnp.where(ins1h & v, 1, 0), axis=1)
 
     out = dict(st)
+    if "ovf" in st:
+        # evicting ANY occupant (live or zombie) diverges from the
+        # reference's unbounded std::set -> flag for the wide remap
+        out["ovf"] = st["ovf"] | (do_insert & ~jnp.any(free, axis=1))
     out["cl_valid"] = (v & ~(lost[:, None] & onehot) & ~ins1h) | ins1h
     out["cl_count"] = occupied | ins1h
     out["cl_r1"] = jnp.where(ins1h, r2[:, None], new_r1)
@@ -586,6 +594,7 @@ def _event_step(idx, p: EngineParams, st, ev, ev_on):
     # mapper.cpp:486-510), so we compact up to CE prob-passing flags,
     # extend them, then cut at C valid ones.
     CE = p.CE if p.CE else C + max(C // 4, 256)
+    CE = min(CE, 5 * P)  # cannot exceed the flag count
     KMASK = KMER_COUNT - 1
     PATH_MASK = (1 << SL) - 1
     TAIL_MOVE = 1 << (SL - 1)
@@ -621,14 +630,21 @@ def _event_step(idx, p: EngineParams, st, ev, ev_on):
     cpar_g = jnp.minimum(cpar, P - 1)
 
     # ---- gather parent state, FM-extend the moves ----
-    cs, ce, ck, ctot, ccons, cmvs, csa, cring = _pack_gather(
+    # the two ring slots every child needs (cum at tot, window start at
+    # (tot+1-SL)) are PARENT-level quantities: read them per path with
+    # cheap one-hot sums, then let the two scalars ride the packed gather
+    # instead of hauling the whole 23-slot ring per candidate
+    cumnow_p = _ring_read(st["p_cum"], st["p_total"] % RING)
+    wslot_p = jnp.where(
+        st["p_total"] + 1 >= SL, (st["p_total"] + 1 - SL) % RING, 0
+    )
+    wstart_p = _ring_read(st["p_cum"], wslot_p)
+    cs, ce, ck, ctot, ccons, cmvs, csa, ccum, cwst = _pack_gather(
         [st["p_start"], st["p_end"], st["p_kmer"], st["p_total"],
-         st["p_consec"], st["p_moves"], st["p_sa"]],
+         st["p_consec"], st["p_moves"], st["p_sa"], cumnow_p, wstart_p],
         cpar_g,
-        rings=[st["p_cum"]],
         mxu=p.mxu,
     )
-    ccum = _ring_read(cring, ctot % RING)
 
     is_mv = move >= 1
     base = jnp.clip(move - 1, 0, 3)
@@ -646,11 +662,9 @@ def _event_step(idx, p: EngineParams, st, ev, ev_on):
     prob = _row_gather(probs, nk, p.mxu)
     new_tot = ctot + 1
     newcum = ccum + prob  # f32, same op order as sums_[l] = sums_[l-1]+prob
-    wslot = jnp.where(new_tot >= SL, (new_tot - SL) % RING, 0)
-    wstart = _ring_read(cring, wslot)
     seedprob = jnp.where(
         new_tot >= SL,
-        (newcum - wstart) / f32(SL),
+        (newcum - cwst) / f32(SL),
         newcum / new_tot.astype(f32),
     )
     nmoves = ((cmvs << 1) | is_mv.astype(i32)) & PATH_MASK
@@ -700,13 +714,11 @@ def _event_step(idx, p: EngineParams, st, ev, ev_on):
     svalid = k1s != INT32_MAX
     ns_s, ne_s = k1s, k2s
     seedprob_s = k3s
-    nk_s, prob_s, newcum_s, ntot_s, nmoves_s, ncons_s, csa_s, cring_s = (
-        _pack_gather(
-            [nk, prob, newcum, new_tot, nmoves, nconsec, csa],
-            perm,
-            rings=[cring],
-            mxu=p.mxu,
-        )
+    # only the fields the seed/source stages read in sorted order ride the
+    # perm gather; child-only fields (consec, sa, newcum, parent id, ring)
+    # are gathered once at assembly through the composed index perm[child]
+    nk_s, prob_s, ntot_s, nmoves_s = _pack_gather(
+        [nk, prob, new_tot, nmoves], perm, mxu=p.mxu
     )
 
     nxt = lambda a, fill: jnp.concatenate(
@@ -773,6 +785,7 @@ def _event_step(idx, p: EngineParams, st, ev, ev_on):
             "cl_valid", "cl_count", "cl_ref_st", "cl_r1", "cl_r2e",
             "cl_evt_st", "cl_evt_en", "cl_total", "len_sum", "n_cl",
             "mm_len", "mm_ref_st", "mm_r1", "mm_r2e", "mm_evt_st", "mm_evt_en",
+            "ovf",
         )
     }
     max_rows = jnp.minimum(jnp.max(jnp.where(alive, total_rows, 0)), R)
@@ -860,20 +873,25 @@ def _event_step(idx, p: EngineParams, st, ev, ev_on):
     k_src = jnp.clip(out_j - n_cands[:, None], 0, P - 1)
     src_of, src_hit = _pack_gather([src_src, src_ok], k_src, mxu=p.mxu)
     src_okj = src_hit & (out_j >= n_cands[:, None])
-    # children copy the parent ring with the new slot written; the updated
-    # ring rides the same packed gather as the scalar fields
-    new_slot = ntot_s % RING
-    ring_iota = jax.lax.broadcasted_iota(i32, (B, CE, RING), 2)
-    cring_upd = jnp.where(
-        ring_iota == new_slot[:, :, None], newcum_s[:, :, None], cring_s
+    # child fields in two hops: sorted-order fields by child_src, then
+    # candidate-order (pre-sort) fields by the composed index
+    # ci = perm[child_src]; the parent ring is gathered ONCE per event,
+    # straight from the path table via the composed parent id
+    c_start, c_end, c_kmer, c_tot, c_mvs, c_seedc, ci = _pack_gather(
+        [ns_s, ne_s, nk_s, ntot_s, nmoves_s, seed_c, perm],
+        child_src,
+        mxu=p.mxu,
     )
-    c_start, c_end, c_kmer, c_tot, c_cons, c_mvs, c_sa, child_ring = (
-        _pack_gather(
-            [ns_s, ne_s, nk_s, ntot_s, ncons_s, nmoves_s, (csa_s | seed_c)],
-            child_src,
-            rings=[cring_upd],
-            mxu=p.mxu,
-        )
+    c_cons, c_sa0, c_newcum, c_par = _pack_gather(
+        [nconsec, csa, newcum, cpar_g], ci, mxu=p.mxu
+    )
+    c_sa = c_sa0 | c_seedc
+    (child_ring0,) = _pack_gather([], c_par, rings=[st["p_cum"]], mxu=p.mxu)
+    ring_iota_p = jax.lax.broadcasted_iota(i32, (B, P, RING), 2)
+    child_ring = jnp.where(
+        ring_iota_p == (c_tot % RING)[:, :, None],
+        c_newcum[:, :, None],
+        child_ring0,
     )
     s_start, s_end, s_kmer, s_prob = _pack_gather(
         [src_start, src_end, src_kmer, src_prob], src_of, mxu=p.mxu
@@ -918,6 +936,19 @@ def _event_step(idx, p: EngineParams, st, ev, ev_on):
         while m.ndim < v.ndim:
             m = m[..., None]
         out[k] = jnp.where(m, v, st[k])
+
+    # budget-overflow detection (conservative): any event where a fixed
+    # width cut work the reference's unbounded/10000-path loop would do.
+    # No flag => this read's result provably equals the wide engine's.
+    n_src = jnp.sum(src_concat.astype(i32), axis=1)
+    n_flags = jnp.sum(flat.astype(i32), axis=1)
+    ovf_ev = (
+        (n_flags > CE)
+        | (total_valid_fm > C)
+        | ((n_cands + n_src) > P)
+        | (total_rows > R)
+    )
+    out["ovf"] = out["ovf"] | (ovf_ev & alive)
 
     dec = _tracker_decide(p, out) & alive
     out["done"] = st["done"] | dec
@@ -1053,7 +1084,7 @@ class MapEngine:
         import jax
 
         keys = (
-            "done", "success", "dec_evt", "evt_i",
+            "done", "success", "dec_evt", "evt_i", "ovf",
             "mm_len", "mm_ref_st", "mm_r1", "mm_r2e", "mm_evt_st", "mm_evt_en",
         )
         vals = jax.device_get([state[k] for k in keys])

@@ -76,12 +76,19 @@ def _pick_kc(k: int, wf: int, rb: int) -> int:
     return min(kc, _round_up(k, 128))
 
 
-def _gather_kernel(t_ref, i_ref, o_ref, *, H, W, F, shared):
+def _gather_kernel(t_ref, i_ref, o_ref, acc_ref, *, H, W, F, shared):
     """One byte-plane of the one-hot gather (see module docstring).
+
+    The expensive part is NOT the MXU dot but the VPU passes over the
+    [KC, W*F] row blocks (one-hot build + select).  So each plane step
+    only dots and shift-accumulates rows into a VMEM scratch; the select/
+    collapse runs ONCE, on the recombined int32 rows at the last plane.
+    (The select is exact on recombined values: exactly one w survives.)
 
     t_ref: [RB, H, W*F] int32 table block ([H, W*F] when shared)
     i_ref: [RB, KC] int32 indices (preclamped to [0, H*W))
-    o_ref: [F, RB, KC] int32, accumulated across the 4 plane grid steps
+    o_ref: [F, RB, KC] int32 (written at the last plane step)
+    acc_ref: [RB, KC, W*F] int32 scratch accumulating the planes
     """
     import jax
     import jax.numpy as jnp
@@ -91,7 +98,6 @@ def _gather_kernel(t_ref, i_ref, o_ref, *, H, W, F, shared):
     s = pl.program_id(2)  # plane axis, innermost
     idx = i_ref[...]
     hi = idx // W
-    lo = idx - hi * W
 
     # signed-byte plane s: c_s = ((v >> 8s) & 0xFF) - 128  (v = sum c_s<<8s
     # + 0x80808080; arithmetic >> is fine, & 0xFF drops the smeared sign)
@@ -104,21 +110,45 @@ def _gather_kernel(t_ref, i_ref, o_ref, *, H, W, F, shared):
         rows = jax.lax.dot_general(
             oh_hi, plane, (((2,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
-        )
+        )  # [RB, KC, W*F]
     else:
         rows = jax.lax.dot_general(
             oh_hi, plane, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.int32,
-        )  # [RB, KC, W*F]
+        )
 
     if F == 1:
-        oh_lo = lo[:, :, None] == jax.lax.broadcasted_iota(
-            jnp.int32, (RB, KC, W), 2
-        )
-        g = jnp.sum(jnp.where(oh_lo, rows, 0), axis=2)[None]  # [1, RB, KC]
+        # accumulate recombined int32 rows; select ONCE at the last plane
+        @pl.when(s == 0)
+        def _init():
+            acc_ref[...] = rows
+
+        @pl.when(s != 0)
+        def _accum():
+            acc_ref[...] += jnp.left_shift(rows, s * 8)
+
+        @pl.when(s == 3)
+        def _select():
+            lo = idx - hi * W
+            oh_lo = lo[:, :, None] == jax.lax.broadcasted_iota(
+                jnp.int32, (RB, KC, W), 2
+            )
+            g = jnp.sum(jnp.where(oh_lo, acc_ref[...], 0), axis=2)[None]
+            o_ref[...] = g + _PLANE_BIAS
     else:
-        wf_pos = jax.lax.broadcasted_iota(jnp.int32, (RB, KC, W * F), 2) // F
-        masked = jnp.where(wf_pos == lo[:, :, None], rows, 0)
+        # the bf16 collapse dot must see per-plane values (|v| <= 128,
+        # bf16-exact), so it runs every plane — but the W-position mask
+        # is plane-invariant: build it once into scratch
+        @pl.when(s == 0)
+        def _mask():
+            lo = idx - hi * W
+            wf_pos = (
+                jax.lax.broadcasted_iota(jnp.int32, (RB, KC, W * F), 2) // F
+            )
+            acc_ref[...] = (wf_pos == lo[:, :, None]).astype(jnp.int32)
+            o_ref[...] = jnp.full(o_ref.shape, _PLANE_BIAS, jnp.int32)
+
+        masked = rows * acc_ref[...]
         # collapse[f, x] = (x % F == f); bf16 exact for |v| <= 128
         collapse = (
             jax.lax.broadcasted_iota(jnp.int32, (F, W * F), 1) % F
@@ -128,12 +158,7 @@ def _gather_kernel(t_ref, i_ref, o_ref, *, H, W, F, shared):
             collapse, masked.astype(jnp.bfloat16), (((1,), (2,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).astype(jnp.int32)  # [F, RB, KC]
-
-    @pl.when(s == 0)
-    def _init():
-        o_ref[...] = jnp.full(o_ref.shape, _PLANE_BIAS, jnp.int32)
-
-    o_ref[...] += jnp.left_shift(g, s * 8)
+        o_ref[...] += jnp.left_shift(g, s * 8)
 
 
 def _gather_i32(tbl, idx, shared: bool, rb: int = 8):
@@ -144,6 +169,7 @@ def _gather_i32(tbl, idx, shared: bool, rb: int = 8):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
     B, K = idx.shape
     N, F = tbl.shape[-2:]
@@ -174,6 +200,7 @@ def _gather_i32(tbl, idx, shared: bool, rb: int = 8):
         in_specs=[t_spec, pl.BlockSpec((RB, KC), lambda i, j, s: (i, j))],
         out_specs=pl.BlockSpec((F, RB, KC), lambda i, j, s: (0, i, j)),
         out_shape=jax.ShapeDtypeStruct((F, Bp, Kp), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((RB, KC, W * F), jnp.int32)],
     )(tbl, idx)
     return out[:, :B, :K]
 
