@@ -106,6 +106,7 @@ def main():
     conf = Conf()
     conf.engine.batch_reads = BATCH
     conf.engine.evt_block = EVT_BLOCK
+    conf.engine.remap_wide = bool(int(os.environ.get("BENCH_REMAP", "1")))
     bm = BatchMapper(
         fmi, load_default(), load_uncl(prefix + ".uncl"), conf,
         P=PATHS, C=PATHS, R=SEED_ROWS, CL=CLUSTERS,

@@ -126,8 +126,20 @@ def sim_cmd(args):
 
 
 def yield_cmd(args):
+    if args.cov_fname:
+        # BED-coverage mode (reference sim_scripts/est_bed_yield.py)
+        from .realtime.yield_est import est_bed_yield
+
+        est_bed_yield(
+            args.uncalled_fname, args.cov_fname, args.seq_sum,
+            sim_speed=args.sim_speed,
+        )
+        return
     if args.deplete == args.enrich:
         sys.stderr.write("specify exactly one of --deplete / --enrich\n")
+        sys.exit(1)
+    if not (args.minimap_fname and args.bwa_prefix):
+        sys.stderr.write("genome mode needs -m/--minimap-fname and -x\n")
         sys.exit(1)
     from .realtime.yield_est import est_genome_yield
 
@@ -234,12 +246,16 @@ def main(argv=None):
     p.set_defaults(fn=mask_cmd)
 
     p = sub.add_parser(
-        "yield", help="post-sim enrichment accounting (est_genome_yield)"
+        "yield",
+        help="post-sim enrichment accounting (est_genome_yield / "
+             "est_bed_yield with -c)",
     )
     p.add_argument("-u", "--uncalled-fname", required=True)
     p.add_argument("-s", "--seq-sum", required=True)
-    p.add_argument("-m", "--minimap-fname", required=True)
-    p.add_argument("-x", "--bwa-prefix", required=True)
+    p.add_argument("-m", "--minimap-fname", default="")
+    p.add_argument("-x", "--bwa-prefix", default="")
+    p.add_argument("-c", "--cov-fname", default="",
+                   help="BED coverage file -> est_bed_yield mode")
     p.add_argument("--deplete", action="store_true")
     p.add_argument("--enrich", action="store_true")
     p.add_argument("-t", "--sim-speed", type=float, default=1.0)

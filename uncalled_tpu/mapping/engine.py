@@ -657,7 +657,7 @@ def _event_step(idx, p: EngineParams, st, ev, ev_on):
     # breaks at max_paths appended (mapper.cpp:455-520)
     vpos = jnp.cumsum(cv_fm, axis=1, dtype=i32) - cv_fm
     cvalid = cv_fm & (vpos < C)
-    total_valid_fm = jnp.sum(cv_fm.astype(i32), axis=1)
+    total_valid_fm = jnp.sum(cv_fm, axis=1, dtype=i32)
 
     prob = _row_gather(probs, nk, p.mxu)
     new_tot = ctot + 1

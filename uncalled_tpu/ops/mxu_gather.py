@@ -133,7 +133,10 @@ def _gather_kernel(t_ref, i_ref, o_ref, acc_ref, *, H, W, F, shared):
             oh_lo = lo[:, :, None] == jax.lax.broadcasted_iota(
                 jnp.int32, (RB, KC, W), 2
             )
-            g = jnp.sum(jnp.where(oh_lo, acc_ref[...], 0), axis=2)[None]
+            g = jnp.sum(
+                jnp.where(oh_lo, acc_ref[...], 0), axis=2, dtype=jnp.int32
+            )[None]  # dtype pinned: x64 mode would promote (and Mosaic
+            # cannot lower the resulting i64->i32 store)
             o_ref[...] = g + _PLANE_BIAS
     else:
         # the bf16 collapse dot must see per-plane values (|v| <= 128,

@@ -36,6 +36,13 @@ class _Channel:
     last_chunk_t: float = 0.0
     samples: int = 0
     done_reported: bool = True
+    # wall-clock timing tags (reference mapper.cpp:235,313-316,374:
+    # qt = read start -> first events mapped, mt = accumulated mapping
+    # time, wt = everything else until the decision). Under batched
+    # dispatch each advance's wall time is shared by all active channels.
+    t_start: float = 0.0
+    mt_acc: float = 0.0
+    qt: float = -1.0
 
 
 class RealtimeMapper:
@@ -61,6 +68,11 @@ class RealtimeMapper:
         ch.n_chunks = 0
         ch.samples = 0
         ch.done_reported = False
+        import time
+
+        ch.t_start = time.perf_counter()
+        ch.mt_acc = 0.0
+        ch.qt = -1.0
         mask = np.zeros(len(self.channels), bool)
         mask[c] = True
         self.state = self.eng.reset_slots(self.state, mask)
@@ -101,7 +113,16 @@ class RealtimeMapper:
                 on[c, : len(ev)] = True
                 active = True
         if active:
+            import time
+
+            t0 = time.perf_counter()
             self.state = self.eng.advance(self.state, means, on)
+            dt_ms = (time.perf_counter() - t0) * 1000.0
+            for c, ch in enumerate(self.channels):
+                if on[c].any():
+                    if ch.qt < 0:
+                        ch.qt = (t0 - ch.t_start) * 1000.0
+                    ch.mt_acc += dt_ms
         ro = self.eng.readout(self.state)
 
         out = list(self._pending)
@@ -128,9 +149,22 @@ class RealtimeMapper:
         return out
 
     def _make_paf(self, c: int, ch: _Channel, ro, success: bool) -> Paf:
+        import time
+
         paf = Paf(rd_name=ch.read_id)
         paf.set_int(Tag.CHANNEL, c + 1)
         paf.set_int(Tag.READ_START, ch.start_sample)
+        # timing tags; rt is never stamped, matching the reference (its
+        # RECEIVE_TIME write is commented out, read_buffer.cpp:258)
+        total_ms = (time.perf_counter() - ch.t_start) * 1000.0
+        paf.set_float(Tag.MAP_TIME, ch.mt_acc)
+        if ch.qt >= 0:
+            paf.set_float(Tag.QUEUE_TIME, ch.qt)
+            paf.set_float(
+                Tag.WAIT_TIME, max(total_ms - ch.mt_acc - ch.qt, 0.0)
+            )
+        else:
+            paf.set_float(Tag.WAIT_TIME, max(total_ms - ch.mt_acc, 0.0))
         paf.rd_len = int(
             F32(F32(ch.samples) * F32(self.conf.reads.bp_per_samp))
         )

@@ -102,7 +102,11 @@ def run_sim_loop(client: ClientSim, rt, conf: Conf, deplete: bool,
                 if client.should_eject():
                     paf.set_float("ej", t)
                     u = client.unblock_read(ch, nm)
-                    paf.set_int("dl", u)
+                    if u is not None:
+                        # sim only: the reference stamps dl just for the
+                        # simulator (scripts/uncalled:228-233); the live
+                        # client's unblock has no delay to report
+                        paf.set_int("dl", u)
                     unblocked[ch - 1] = nm
                 else:
                     paf.set_float("mx", t)
