@@ -97,7 +97,10 @@ def _gather_kernel(t_ref, i_ref, o_ref, acc_ref, *, H, W, F, shared):
     RB, KC = i_ref.shape
     s = pl.program_id(2)  # plane axis, innermost
     idx = i_ref[...]
-    hi = idx // W
+    # lax.div, not //: jnp floor-division lowers through f64 under x64
+    # mode, which Mosaic cannot lower (operands are non-negative, so
+    # truncating division is exact here)
+    hi = jax.lax.div(idx, np.int32(W))
 
     # signed-byte plane s: c_s = ((v >> 8s) & 0xFF) - 128  (v = sum c_s<<8s
     # + 0x80808080; arithmetic >> is fine, & 0xFF drops the smeared sign)
@@ -134,9 +137,10 @@ def _gather_kernel(t_ref, i_ref, o_ref, acc_ref, *, H, W, F, shared):
                 jnp.int32, (RB, KC, W), 2
             )
             g = jnp.sum(
-                jnp.where(oh_lo, acc_ref[...], 0), axis=2, dtype=jnp.int32
-            )[None]  # dtype pinned: x64 mode would promote (and Mosaic
-            # cannot lower the resulting i64->i32 store)
+                jnp.where(oh_lo, acc_ref[...], np.int32(0)),
+                axis=2, dtype=jnp.int32,
+            )[None]  # dtypes pinned: x64 mode promotes the weak-int 0 and
+            # the sum to i64, which Mosaic cannot lower
             o_ref[...] = g + _PLANE_BIAS
     else:
         # the bf16 collapse dot must see per-plane values (|v| <= 128,
@@ -145,8 +149,9 @@ def _gather_kernel(t_ref, i_ref, o_ref, acc_ref, *, H, W, F, shared):
         @pl.when(s == 0)
         def _mask():
             lo = idx - hi * W
-            wf_pos = (
-                jax.lax.broadcasted_iota(jnp.int32, (RB, KC, W * F), 2) // F
+            wf_pos = jax.lax.div(
+                jax.lax.broadcasted_iota(jnp.int32, (RB, KC, W * F), 2),
+                np.int32(F),
             )
             acc_ref[...] = (wf_pos == lo[:, :, None]).astype(jnp.int32)
             o_ref[...] = jnp.full(o_ref.shape, _PLANE_BIAS, jnp.int32)
@@ -154,7 +159,10 @@ def _gather_kernel(t_ref, i_ref, o_ref, acc_ref, *, H, W, F, shared):
         masked = rows * acc_ref[...]
         # collapse[f, x] = (x % F == f); bf16 exact for |v| <= 128
         collapse = (
-            jax.lax.broadcasted_iota(jnp.int32, (F, W * F), 1) % F
+            jax.lax.rem(
+                jax.lax.broadcasted_iota(jnp.int32, (F, W * F), 1),
+                np.int32(F),
+            )
             == jax.lax.broadcasted_iota(jnp.int32, (F, W * F), 0)
         ).astype(jnp.bfloat16)
         g = jax.lax.dot_general(
@@ -182,7 +190,10 @@ def _gather_i32(tbl, idx, shared: bool, rb: int = 8):
     KC = _pick_kc(K, W * F, RB)
     Bp, Kp, Np = _round_up(B, RB), _round_up(K, KC), H * W
 
-    idx = jnp.clip(idx.astype(jnp.int32), 0, N - 1)
+    # min/max with i32 consts, not jnp.clip: under x64 clip's python-int
+    # bounds materialize i64 scalars in the jaxpr
+    idx = idx.astype(jnp.int32)
+    idx = jnp.maximum(jnp.minimum(idx, np.int32(N - 1)), np.int32(0))
     if Kp != K or Bp != B:
         idx = jnp.pad(idx, ((0, Bp - B), (0, Kp - K)))
     pads = [(0, Np - N), (0, 0)]
