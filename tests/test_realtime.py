@@ -116,6 +116,16 @@ def test_debug_dump_and_parse(example_index, example_threshes, pore_model,
     # the dominant seed cluster lies at the mapped PAF location
     assert top["name"] == paf.rf_name
     assert abs(top["st"] - paf.rf_st) < 200
+    # the path DAG is present, parents resolve, and ancestry chains run
+    # back through consecutive events to a source
+    assert dp.paths
+    deep = max(dp.paths, key=lambda k: dp.paths[k]["full_len"])
+    chain = dp.path_ancestry(*deep)
+    assert len(chain) >= min(dp.paths[deep]["full_len"], 10)
+    for (evt, _), row in chain[:-1]:
+        assert row["parent"][0] == evt - 1
+    root_key, root = chain[-1]
+    assert root["parent"] == root_key or root["full_len"] == 1
 
 
 def test_map_ordered_matches_truth(example_index, example_threshes, pore_model):
@@ -147,3 +157,49 @@ def test_map_ordered_matches_truth(example_index, example_threshes, pore_model):
         if p.is_mapped and r.ref_start - 400 <= p.rf_st <= r.ref_end + 400:
             n_ok += 1
     assert n_ok >= 3
+
+
+def test_backlog_shedding(example_index, example_threshes, pore_model,
+                          golden_reads):
+    """Chunks arriving faster than the mapper consumes them are dropped
+    once the per-channel event backlog passes the cap (the reference
+    holds at most one unprocessed chunk, mapper.cpp:282-287)."""
+    conf = Conf()
+    conf.reads.num_channels = 2
+    conf.realtime.max_event_backlog = 64
+    rt = RealtimeMapper(
+        example_index, pore_model, example_threshes, conf,
+        P=64, C=64, R=16, CL=32,
+    )
+    sig = golden_reads["sim_0000_Escherichia_coli_3854_+"]
+
+    class Ck:
+        def __init__(self, number, s, start):
+            self.number, self.signal, self.start = number, s, start
+            self.read_id = f"rd{number}"
+
+    # flood channel 1 with chunks, never calling update()
+    step = 4000
+    for i in range(0, len(sig) - step, step):
+        rt.add_chunks([(1, Ck(1, sig[i : i + step], i))], now=float(i) / 4000)
+    ch = rt.channels[0]
+    assert ch.shed_chunks > 0, "backlog cap never triggered"
+    # overshoot is at most one chunk's worth of events (~600 at 4000
+    # samples/chunk) — same granularity as the reference's 1-chunk buffer
+    assert ch.dsp.norm.unread_size() < conf.realtime.max_event_backlog + 700
+
+    # with shedding disabled the whole signal queues up
+    conf2 = Conf()
+    conf2.reads.num_channels = 2
+    conf2.realtime.max_event_backlog = 0
+    rt2 = RealtimeMapper(
+        example_index, pore_model, example_threshes, conf2,
+        P=64, C=64, R=16, CL=32,
+    )
+    for i in range(0, len(sig) - step, step):
+        rt2.add_chunks([(1, Ck(1, sig[i : i + step], i))], now=float(i) / 4000)
+    assert rt2.channels[0].shed_chunks == 0
+    assert (
+        rt2.channels[0].dsp.norm.unread_size()
+        > ch.dsp.norm.unread_size()
+    )

@@ -96,6 +96,11 @@ class RealtimeParams:
     max_active_reads: int = 512
     active_chs: str = "full"  # full | even | odd
     realtime_mode: str = "deplete"  # deplete | enrich
+    # backlog shedding: drop an incoming chunk when a channel already has
+    # this many unconsumed events queued (the reference holds at most one
+    # unprocessed chunk per channel and drops the rest,
+    # mapper.cpp:282-287); 0 disables
+    max_event_backlog: int = 256
 
 
 @dataclass

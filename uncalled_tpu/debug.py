@@ -16,7 +16,7 @@ import os
 
 import numpy as np
 
-from .kmer import K
+from .kmer import K, kmer_to_str
 
 
 def dump_read(bm, read, dbg_prefix: str, max_events: int = 0):
@@ -81,6 +81,42 @@ def dump_read(bm, read, dbg_prefix: str, max_events: int = 0):
             if dec[t]:
                 break
 
+    # _paths.tsv: the per-event path DAG (mapper.cpp:1016-1078 layout):
+    # id=evt:slot, parent=prev_evt:slot (self when source), fm_start,
+    # fm_len, kmer, full_len (events since path birth), match_prob
+    # (newest event's match prob), moves bitstring (newest first)
+    P = eng.params.P
+    SL = eng.params.seed_len
+    p_par = np.asarray(dbg["p_parent"])[:, 0, :]
+    p_st = np.asarray(dbg["p_fm_start"])[:, 0, :]
+    p_ln = np.asarray(dbg["p_fm_len"])[:, 0, :]
+    p_km = np.asarray(dbg["p_kmer"])[:, 0, :]
+    p_tot = np.asarray(dbg["p_total"])[:, 0, :]
+    p_pr = np.asarray(dbg["p_prob"])[:, 0, :]
+    p_mv = np.asarray(dbg["p_moves"])[:, 0, :]
+    with open(base + "_paths.tsv", "w") as f:
+        f.write(
+            "id\tparent\tfm_start\tfm_len\tkmer\tfull_len\tmatch_prob\t"
+            "moves\n"
+        )
+        for t in range(T):
+            for j in range(P):
+                if p_tot[t, j] <= 0:
+                    continue
+                par = int(p_par[t, j])
+                parent = f"{t - 1}:{par}" if par < P else f"{t}:{j}"
+                nbits = min(int(p_tot[t, j]), SL)
+                moves = "".join(
+                    str((int(p_mv[t, j]) >> b) & 1) for b in range(nbits)
+                )
+                f.write(
+                    f"{t}:{j}\t{parent}\t{p_st[t, j]}\t{p_ln[t, j]}\t"
+                    f"{kmer_to_str(int(p_km[t, j]))}\t{p_tot[t, j]}\t"
+                    f"{p_pr[t, j]:.5f}\t{moves or 0}\n"
+                )
+            if dec[t]:
+                break
+
     ro = eng.readout(state)
     paf = bm._finalize(slot, ro, 0)
     return paf, n_rows
@@ -101,6 +137,37 @@ class DebugParser:
                 seeds.append((name, int(st), int(en), int(evt), int(mc),
                               strand == "+"))
         self.seeds = seeds
+        # path DAG: {(evt, slot): row dict}; absent file = dump predates
+        # the paths tap
+        self.paths = {}
+        if os.path.exists(base + "_paths.tsv"):
+            with open(base + "_paths.tsv") as f:
+                next(f)
+                for line in f:
+                    pid, parent, fm_st, fm_ln, kmer, full, prob, mv = (
+                        line.split()
+                    )
+                    evt, slot = (int(x) for x in pid.split(":"))
+                    pevt, pslot = (int(x) for x in parent.split(":"))
+                    self.paths[(evt, slot)] = dict(
+                        parent=(pevt, pslot), fm_start=int(fm_st),
+                        fm_len=int(fm_ln), kmer=kmer, full_len=int(full),
+                        match_prob=float(prob), moves=mv,
+                    )
+
+    def path_ancestry(self, evt: int, slot: int):
+        """Walk a path's parent chain back to its source (the reference
+        debug flow reconstructs seed ancestry the same way from
+        _paths.tsv parent ids)."""
+        chain = []
+        key = (evt, slot)
+        while key in self.paths:
+            row = self.paths[key]
+            chain.append((key, row))
+            if row["parent"] == key:
+                break
+            key = row["parent"]
+        return chain
 
     def seed_clusters(self, max_evt_gap: int = 50):
         """Greedy re-clustering of the dumped seeds (debug.py:543-652 role):

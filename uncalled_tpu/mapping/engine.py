@@ -882,8 +882,8 @@ def _event_step(idx, p: EngineParams, st, ev, ev_on):
         child_src,
         mxu=p.mxu,
     )
-    c_cons, c_sa0, c_newcum, c_par = _pack_gather(
-        [nconsec, csa, newcum, cpar_g], ci, mxu=p.mxu
+    c_cons, c_sa0, c_newcum, c_par, c_prob = _pack_gather(
+        [nconsec, csa, newcum, cpar_g, prob], ci, mxu=p.mxu
     )
     c_sa = c_sa0 | c_seedc
     (child_ring0,) = _pack_gather([], c_par, rings=[st["p_cum"]], mxu=p.mxu)
@@ -963,6 +963,19 @@ def _event_step(idx, p: EngineParams, st, ev, ev_on):
         "n_paths": jnp.sum((new_paths["p_total"] > 0).astype(i32), axis=1),
         "n_cand": jnp.sum(cvalid.astype(i32), axis=1),
         "dec": dec,
+        # path-DAG tap for the _paths.tsv dump (mapper.cpp:1016-1078):
+        # parent slot id in the PREVIOUS table (P = no parent / source)
+        # plus the per-event path-table snapshot (all dead code under
+        # debug=False; XLA DCEs it out of the production step)
+        "p_parent": jnp.where(as_child, c_par, P),
+        "p_prob": jnp.where(
+            as_child, c_prob, jnp.where(src_okj, s_prob, 0.0)
+        ),
+        "p_fm_start": new_paths["p_start"],
+        "p_fm_len": new_paths["p_end"] - new_paths["p_start"] + 1,
+        "p_kmer": new_paths["p_kmer"],
+        "p_total": new_paths["p_total"],
+        "p_moves": new_paths["p_moves"],
     }
     return out, dbg
 

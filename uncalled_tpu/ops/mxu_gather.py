@@ -204,15 +204,19 @@ def _gather_i32(tbl, idx, shared: bool, rb: int = 8):
     tbl = tbl.reshape((H, W * F) if shared else (Bp, H, W * F))
 
     kern = functools.partial(_gather_kernel, H=H, W=W, F=F, shared=shared)
+    # index-map constants MUST be np.int32: python-int 0 becomes an i64
+    # constant in the Mosaic module under x64 mode and crashes the
+    # compiler
+    Z = np.int32(0)
     if shared:
-        t_spec = pl.BlockSpec((H, W * F), lambda i, j, s: (0, 0))
+        t_spec = pl.BlockSpec((H, W * F), lambda i, j, s: (Z, Z))
     else:
-        t_spec = pl.BlockSpec((RB, H, W * F), lambda i, j, s: (i, 0, 0))
+        t_spec = pl.BlockSpec((RB, H, W * F), lambda i, j, s: (i, Z, Z))
     out = pl.pallas_call(
         kern,
         grid=(Bp // RB, Kp // KC, 4),
         in_specs=[t_spec, pl.BlockSpec((RB, KC), lambda i, j, s: (i, j))],
-        out_specs=pl.BlockSpec((F, RB, KC), lambda i, j, s: (0, i, j)),
+        out_specs=pl.BlockSpec((F, RB, KC), lambda i, j, s: (Z, i, j)),
         out_shape=jax.ShapeDtypeStruct((F, Bp, Kp), jnp.int32),
         scratch_shapes=[pltpu.VMEM((RB, KC, W * F), jnp.int32)],
     )(tbl, idx)

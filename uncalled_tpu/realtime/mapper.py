@@ -43,6 +43,7 @@ class _Channel:
     t_start: float = 0.0
     mt_acc: float = 0.0
     qt: float = -1.0
+    shed_chunks: int = 0  # chunks dropped by backlog shedding
 
 
 class RealtimeMapper:
@@ -73,6 +74,7 @@ class RealtimeMapper:
         ch.t_start = time.perf_counter()
         ch.mt_acc = 0.0
         ch.qt = -1.0
+        ch.shed_chunks = 0
         mask = np.zeros(len(self.channels), bool)
         mask[c] = True
         self.state = self.eng.reset_slots(self.state, mask)
@@ -96,6 +98,15 @@ class RealtimeMapper:
             ch.n_chunks += 1
             ch.samples += len(chunk.signal)
             ch.last_chunk_t = now
+            # backlog shedding (mapper.cpp:282-287: add_chunk returns
+            # false while the previous chunk is unprocessed, dropping the
+            # incoming one): when this channel's unconsumed event queue
+            # is already deep, drop the chunk instead of falling further
+            # behind the pore
+            cap = self.conf.realtime.max_event_backlog
+            if cap and ch.dsp.norm.unread_size() >= cap:
+                ch.shed_chunks += 1
+                continue
             ch.dsp.process_chunk(chunk.signal)
 
     def update(self, now: float):
