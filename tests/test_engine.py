@@ -138,3 +138,34 @@ def test_tracker_stats_parity_on_contested_stream():
     assert int(ts["mm_len"][0]) == (oracle.max_map.total_len if oracle.max_map else 0)
     # no collision fired (believed unreachable): counted == live
     assert int(np.asarray(ts["cl_count"][0]).sum()) == int(ts["n_cl"][0])
+
+
+def test_sampled_sa_lookup_exact(example_index, example_threshes, pore_model):
+    """Device LF-walk on the 1/32-sampled SA reproduces the full SA."""
+    import jax.numpy as jnp
+
+    from uncalled_tpu.mapping.engine import _sa_lookup, device_index
+
+    fmi = example_index
+    idx = device_index(fmi, example_threshes, pore_model, sampled_sa=True)
+    rng = np.random.default_rng(3)
+    rows = rng.integers(0, fmi.n + 1, (4, 64))
+    got = np.asarray(_sa_lookup(idx, jnp.asarray(rows, jnp.int32), 32))
+    want = fmi.sa_full[rows]
+    assert np.array_equal(got, want)
+
+
+def test_sampled_sa_paf_identical(
+    example_index, example_threshes, pore_model, make_read, golden_reads,
+    golden_pafs,
+):
+    """Sampled-SA engine mode stays byte-identical on golden reads."""
+    conf = Conf()
+    conf.engine.batch_reads = 4
+    bm = BatchMapper(
+        example_index, pore_model, example_threshes, conf, sampled_sa=True
+    )
+    reads = [make_read(r, golden_reads[r]) for r in FAST_SUBSET]
+    got = {p.rd_name: p.to_line() for p in bm.map_reads(reads)}
+    for rid in FAST_SUBSET:
+        assert got[rid] == golden_pafs[rid], rid

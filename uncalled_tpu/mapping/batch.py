@@ -56,9 +56,10 @@ class BatchMapper:
     """Map an iterable of reads, yielding Paf records (order of completion)."""
 
     def __init__(self, fmi, model, threshes, conf: Conf | None = None,
-                 emit_timing: bool = False, _wide: bool = False, **over):
+                 emit_timing: bool = False, _wide: bool = False,
+                 engine=None, **over):
         self.conf = conf or Conf()
-        self.eng = MapEngine(fmi, model, threshes, self.conf, **over)
+        self.eng = engine or MapEngine(fmi, model, threshes, self.conf, **over)
         self.fmi = fmi
         self.model = model
         self.threshes = threshes

@@ -83,6 +83,12 @@ class EngineParams:
     # route small-table gathers through the Pallas MXU one-hot kernel
     # (ops/mxu_gather.py); bit-exact, so goldens validate either path
     mxu: bool = False
+    # 1/32 row-sampled SA with device LF-walk reconstruction instead of
+    # the full int32 SA (4 bytes/base -> 0.125); the reference ships
+    # sampled .sa files and walks invPsi the same way (bwa_index.hpp:176,
+    # minibwa bwt_sa). Exact, so goldens validate either path.
+    sampled_sa: bool = False
+    sa_intv: int = 32
 
     @staticmethod
     def from_conf(conf: Conf, **over) -> "EngineParams":
@@ -104,8 +110,11 @@ class EngineParams:
         return EngineParams(**kw)
 
 
-def device_index(fmi, threshes, model):
-    """Static device arrays for one index + model + threshold preset."""
+def device_index(fmi, threshes, model, sampled_sa=False, sa_intv=32):
+    """Static device arrays for one index + model + threshold preset.
+
+    With ``sampled_sa`` the full int32 SA is replaced by a 1/``sa_intv``
+    row sample; lookups LF-walk on device (_sa_lookup)."""
     jnp = _jnp()
     # interleaved occ buckets (the BWA layout, adapted for row gathers):
     # row b = [ckpt_A, ckpt_C, ckpt_G, ckpt_T, word0, word1] for the 32-base
@@ -120,9 +129,15 @@ def device_index(fmi, threshes, model):
     occ_rows[:, :4] = fmi.ckpt[:nb]
     occ_rows[:, 4] = words[0::2].view(_np.int32)
     occ_rows[:, 5] = words[1::2].view(_np.int32)
+    if sampled_sa:
+        sa_arrs = {
+            "sa_samp": jnp.asarray(fmi.sa_full[::sa_intv], dtype=jnp.int32),
+        }
+    else:
+        sa_arrs = {"sa": jnp.asarray(fmi.sa_full, dtype=jnp.int32)}
     return {
         "occ_rows": jnp.asarray(occ_rows),
-        "sa": jnp.asarray(fmi.sa_full, dtype=jnp.int32),
+        **sa_arrs,
         "kmer_st": jnp.asarray(fmi.kmer_ranges[:, 0], dtype=jnp.int32),
         "kmer_en": jnp.asarray(fmi.kmer_ranges[:, 1], dtype=jnp.int32),
         "kmer_rng2": jnp.asarray(fmi.kmer_ranges[:, :2], dtype=jnp.int32),
@@ -217,6 +232,32 @@ def reset_rows(state, mask):
 _EVEN = 0x55555555
 
 
+def _shard_take(idx, key, rows):
+    """Row gather from a possibly mesh-sharded table.
+
+    When ``idx["shard_axis"]`` is set (parallel/sharded.py), the table is
+    row-sharded across that mesh axis inside shard_map: each shard
+    answers the queries in its row range and a psum combines them (the
+    DESIGN.md extension-routing scheme; query volume is tiny next to the
+    local HBM traffic).  Replicated mode is a plain take."""
+    import jax
+
+    jnp = _jnp()
+    tbl = idx[key]
+    ax = idx.get("shard_axis")
+    if not ax:
+        return jnp.take(tbl, rows, axis=0)
+    per = tbl.shape[0]  # rows per shard
+    lo = jax.lax.axis_index(ax).astype(jnp.int32) * np.int32(per)
+    local = rows - lo
+    ok = (local >= 0) & (local < per)
+    g = jnp.take(tbl, jnp.clip(local, 0, per - 1), axis=0)
+    m = ok
+    while m.ndim < g.ndim:
+        m = m[..., None]
+    return jax.lax.psum(jnp.where(m, g, jnp.zeros((), g.dtype)), ax)
+
+
 def _occ(idx, k, c):
     """# occurrences of base c in BWT rows [0, k] (BWA bwt_occ semantics:
     k<0 -> 0, k>=n -> full count, rows >= primary shift by one because the
@@ -233,7 +274,7 @@ def _occ(idx, k, c):
     kk = jnp.clip(kk, 0, n - 1)
 
     blk = kk >> 5  # 32 bases per interleaved bucket
-    row = jnp.take(idx["occ_rows"], blk, axis=0)  # [*, 6] bucket row gather
+    row = _shard_take(idx, "occ_rows", blk)  # [*, 6] bucket row gather
     # pick the base's checkpoint by one-hot sum (4 lanes; a take_along_axis
     # here would pay the per-index gather cost again)
     oh4 = c[..., None] == jnp.arange(4, dtype=i32)
@@ -271,6 +312,55 @@ def _extend(idx, start, end, base):
     oh4 = base[..., None] == jnp.arange(4, dtype=jnp.int32)
     L2b = jnp.sum(jnp.where(oh4, idx["L2"][:4], 0), axis=-1)
     return L2b + os_ + 1, L2b + oe
+
+
+def _sa_lookup(idx, rows, intv):
+    """SA values for FM rows via LF-walk on the 1/intv row sample.
+
+    Mirrors libbwa's bwt_sa/inv_psi (minibwa.cpp:121-135): step
+    LF(r) = L2[c] + occ(c, r) (with LF(primary) = 0) until the row index
+    is a multiple of intv, then SA(r) = sa_samp[r/intv] + steps.  Each
+    step is one bucket-row gather + popcount over all unresolved rows —
+    the same primitive as FM extension.  Max intv-1 iterations; the
+    while_loop exits as soon as every row is resolved."""
+    import jax
+
+    jnp = _jnp()
+    i32, u32 = jnp.int32, jnp.uint32
+    primary = idx["primary"]
+
+    def step(c):
+        r, steps = c
+        live = (r % intv) != 0
+        # base at bwt index j = r - (r > primary); MSB-first 2-bit packing
+        # inside the interleaved bucket words (same layout as _occ)
+        j = jnp.clip(r - (r > primary), 0, None)
+        blk = j >> 5
+        row = _shard_take(idx, "occ_rows", blk)
+        pos = j & 31
+        word = jnp.where(pos < 16, row[..., 4], row[..., 5])
+        sh = ((15 - (pos & 15)) * 2).astype(u32)
+        base = (
+            jax.lax.shift_right_logical(
+                jax.lax.bitcast_convert_type(word, u32), sh
+            )
+            & u32(3)
+        ).astype(i32)
+        oh4 = base[..., None] == jnp.arange(4, dtype=i32)
+        L2b = jnp.sum(jnp.where(oh4, idx["L2"][:4], 0), axis=-1)
+        lf = L2b + _occ(idx, r, base)
+        lf = jnp.where(r == primary, 0, lf)
+        r2 = jnp.where(live, lf, r)
+        return r2.astype(i32), steps + live.astype(i32)
+
+    def cond(c):
+        r, _ = c
+        return jnp.any((r % intv) != 0)
+
+    r, steps = jax.lax.while_loop(
+        cond, step, (rows.astype(i32), jnp.zeros_like(rows, dtype=i32))
+    )
+    return _shard_take(idx, "sa_samp", r // intv) + steps
 
 
 def _fm_bin(fmlen):
@@ -772,7 +862,10 @@ def _event_step(idx, p: EngineParams, st, ev, ev_on):
     )
     sa_row = g_st_g + (row_ids[None, :] - g_cum_prev)
     sa_row = jnp.clip(sa_row, 0, n)
-    ref_en = n - idx["sa"][sa_row]
+    if p.sampled_sa:
+        ref_en = n - _sa_lookup(idx, sa_row, p.sa_intv)
+    else:
+        ref_en = n - _shard_take(idx, "sa", sa_row)
 
     def add_row(r, tstate):
         return _tracker_add(
@@ -1069,7 +1162,10 @@ class MapEngine:
         self.params = EngineParams.from_conf(self.conf, **over)
         self.fmi = fmi
         self.model = model
-        self.idx = device_index(fmi, threshes, model)
+        self.idx = device_index(
+            fmi, threshes, model,
+            sampled_sa=self.params.sampled_sa, sa_intv=self.params.sa_intv,
+        )
         p = self.params
 
         def _adv(state, means, on):

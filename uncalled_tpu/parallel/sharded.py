@@ -1,0 +1,139 @@
+"""Sharded FM-index mapping engine (docs/DESIGN.md: >1 Gb references).
+
+The replicated engine needs ~1-5 bytes of device memory per reference
+base; beyond ~1 Gb the index must shard.  Layout (2-D mesh):
+
+* ``dp`` axis: read slots (the batch dimension of all engine state) —
+  reads are independent, so this axis scales compute linearly with no
+  hot-path collectives (same as the replicated mode).
+* ``idx`` axis: FM-row ranges of the big tables — the interleaved occ
+  buckets and the 1/32-sampled SA shard by row block; each shard answers
+  the occ / SA queries that fall in its range and a ``psum`` over
+  ``idx`` combines the one-hot answers (engine._shard_take).  Query
+  volume is B x CE x 2 bucket rows per event — a few MB over ICI, far
+  below the HBM traffic of the step itself.
+
+Role parity: the reference caps references at ~1 Gb on one host
+(README.md:242-246, bwa_index.hpp:176-178's sampled .sa); this layout is
+how the same algorithm exceeds that on a TPU pod slice.
+
+Byte-exactness: the sharded gathers return identical values to the
+replicated takes, so golden PAF parity holds (tests/test_sharded.py runs
+the proof on the virtual CPU mesh).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import Conf
+from ..mapping.engine import (
+    EngineParams, MapEngine, advance_block, device_index, make_state,
+)
+
+
+def _pad_rows(a: np.ndarray, mult: int) -> np.ndarray:
+    extra = (-len(a)) % mult
+    if extra:
+        pad = [(0, extra)] + [(0, 0)] * (a.ndim - 1)
+        a = np.pad(a, pad)
+    return a
+
+
+class ShardedMapEngine(MapEngine):
+    """MapEngine over a (dp, idx) mesh with row-sharded occ/SA tables.
+
+    Drop-in for MapEngine in BatchMapper: same fresh_state/advance/
+    readout surface; state arrays live dp-sharded on the mesh, the occ
+    buckets and sampled SA live idx-sharded.
+    """
+
+    def __init__(self, fmi, model, threshes, conf: Conf | None = None,
+                 mesh=None, dp_axis: str = "dp", idx_axis: str = "idx",
+                 **over):
+        import jax
+        from jax import shard_map
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if mesh is None:
+            raise ValueError("ShardedMapEngine needs a jax Mesh")
+        self.conf = conf or Conf()
+        over.setdefault("mxu", False)  # pallas inside shard_map: future work
+        over.setdefault("sampled_sa", True)
+        self.params = EngineParams.from_conf(self.conf, **over)
+        p = self.params
+        ndp = mesh.shape[dp_axis]
+        nix = mesh.shape[idx_axis]
+        if p.B % ndp:
+            raise ValueError(f"batch {p.B} not divisible by dp={ndp}")
+        self.mesh = mesh
+        self.fmi = fmi
+        self.model = model
+
+        # host-side tables, big ones padded to the idx-axis multiple
+        base = device_index(
+            fmi, threshes, model, sampled_sa=True, sa_intv=p.sa_intv
+        )
+        occ = _pad_rows(np.asarray(base["occ_rows"]), nix)
+        sa_samp = _pad_rows(np.asarray(base["sa_samp"]), nix)
+        self._meta = {"n": base["n"], "primary": base["primary"]}
+        small = {
+            k: v
+            for k, v in base.items()
+            if k not in ("occ_rows", "sa_samp", "n", "primary")
+        }
+
+        sharded = NamedSharding(mesh, P(idx_axis))
+        sharded2 = NamedSharding(mesh, P(idx_axis, None))
+        repl = NamedSharding(mesh, P())
+        self._tables = {
+            "occ_rows": jax.device_put(occ, sharded2),
+            "sa_samp": jax.device_put(sa_samp, sharded),
+            **{k: jax.device_put(v, repl) for k, v in small.items()},
+        }
+        tbl_specs = {
+            "occ_rows": P(idx_axis, None),
+            "sa_samp": P(idx_axis),
+            **{k: P() for k in small},
+        }
+
+        # local-view params: shard_map sees B/ndp read slots per device
+        p_local = EngineParams(
+            **{**p.__dict__, "B": p.B // ndp}
+        )
+        meta = dict(self._meta)
+
+        def raw(state, means, on, tables):
+            idx = dict(tables, **meta, shard_axis=idx_axis)
+            return advance_block(idx, p_local, state, means, on)
+
+        st_shape = make_state(p)
+        st_specs = jax.tree.map(lambda _: P(dp_axis), st_shape)
+        self._state_sharding = jax.tree.map(
+            lambda _: NamedSharding(mesh, P(dp_axis)), st_shape
+        )
+
+        self._advance = jax.jit(
+            shard_map(
+                raw,
+                mesh=mesh,
+                in_specs=(st_specs, P(dp_axis, None), P(dp_axis, None),
+                          tbl_specs),
+                out_specs=st_specs,
+            ),
+            donate_argnums=(0,),
+        )
+
+    def fresh_state(self):
+        import jax
+
+        return jax.tree.map(
+            jax.device_put, make_state(self.params), self._state_sharding
+        )
+
+    def advance(self, state, means, on):
+        import jax.numpy as jnp
+
+        means = jnp.asarray(means, dtype=jnp.float32)
+        on = jnp.asarray(on, dtype=bool)
+        return self._advance(state, means, on, self._tables)
