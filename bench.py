@@ -38,28 +38,35 @@ BASELINE_READS_PER_SEC = 16 / 0.14099  # reference: 16 threads, 140.99 ms/read
 
 
 def ensure_assets():
+    """Benchmark assets, honest edition (VERDICT r1): a repeat-bearing
+    Markov genome (realistic_genome) mapped with reads simulated under a
+    MISMATCHED signal model (calibration jitter, stalls, skips, slow
+    drift) — plus BWA-format index files so the unmodified reference
+    binary (tools/golden_rig) can map the very same reads."""
     os.makedirs(DATA, exist_ok=True)
-    prefix = os.path.join(DATA, f"ecoli_{REF_BP}")
+    prefix = os.path.join(DATA, f"rgen_{REF_BP}")
     fa = prefix + ".fa"
     if not os.path.exists(prefix + ".utidx.npz"):
-        rng = np.random.default_rng(42)
-        seq = "".join("ACGT"[c] for c in rng.integers(0, 4, REF_BP))
+        from uncalled_tpu.index.build import build_index
+        from uncalled_tpu.index.bwa_compat import write_bwa_index
+        from uncalled_tpu.index.parameterize import build_uncl
+        from uncalled_tpu.testing.simulate import realistic_genome
+
+        seq = realistic_genome(REF_BP, seed=42)
         with open(fa, "w") as f:
             f.write(">bench_ref\n")
             for i in range(0, len(seq), 80):
                 f.write(seq[i : i + 80] + "\n")
-        from uncalled_tpu.index.build import build_index
-        from uncalled_tpu.index.parameterize import build_uncl
-
         fmi = build_index(fa)
         fmi.save(prefix)
+        write_bwa_index(fmi, prefix)
         build_uncl(fmi, prefix)
-    reads_npz = os.path.join(DATA, f"reads_{REF_BP}_{N_READS}.npz")
+    reads_npz = os.path.join(DATA, f"mreads_{REF_BP}_{N_READS}.npz")
     if not os.path.exists(reads_npz):
         from uncalled_tpu.testing.simulate import simulate_reads
 
         reads = simulate_reads(fa, N_READS + N_WARM, seed=123,
-                               read_len_bp=(1000, 4000))
+                               read_len_bp=(1000, 4000), mismatch=True)
         np.savez_compressed(
             reads_npz,
             **{f"sig_{i}": r.signal for i, r in enumerate(reads)},
@@ -119,6 +126,24 @@ def main():
     t0 = time.time()
     n_mapped = 0
     n_correct = 0
+    n_remapped = [0]
+    _orig_wide = bm._get_wide
+
+    def counting_wide():
+        w = _orig_wide()
+        if not hasattr(w, "_counted"):
+            w._counted = True
+            orig_map = w.map_reads
+
+            def wrapped(rs):
+                rs = list(rs)
+                n_remapped[0] += len(rs)
+                return orig_map(rs)
+
+            w.map_reads = wrapped
+        return w
+
+    bm._get_wide = counting_wide
     for paf in bm.map_reads(reads[N_WARM:]):
         if paf.is_mapped:
             n_mapped += 1
@@ -131,6 +156,46 @@ def main():
                 n_correct += 1
     dt = time.time() - t0
     reads_per_sec = N_READS / dt
+
+    # optional accuracy gate vs the unmodified reference binary on the
+    # SAME reads/index (BENCH_RIG=1): fraction of PAF lines that match
+    # byte-for-byte (mt timing tag excluded)
+    rig_agree = None
+    rig_bin = os.path.join(REPO, "tools", "golden_rig", "golden_map")
+    if int(os.environ.get("BENCH_RIG", "0")) and os.path.exists(rig_bin):
+        import subprocess
+        import tempfile
+
+        ours = {}
+        conf2 = Conf()
+        conf2.engine.batch_reads = BATCH
+        conf2.engine.evt_block = EVT_BLOCK
+        conf2.engine.remap_wide = conf.engine.remap_wide
+        bm2 = BatchMapper(
+            fmi, load_default(), load_uncl(prefix + ".uncl"), conf2,
+            P=PATHS, C=PATHS, R=SEED_ROWS, CL=CLUSTERS,
+        )
+        for paf in bm2.map_reads(reads[N_WARM:]):
+            ours[paf.rd_name] = paf.to_line()
+        same = 0
+        total = 0
+        with tempfile.TemporaryDirectory() as td:
+            for r in reads[N_WARM:]:
+                sigf = os.path.join(td, "sig.f32")
+                r.signal.astype("<f4").tofile(sigf)
+                out = subprocess.run(
+                    [rig_bin, prefix, sigf, r.id],
+                    capture_output=True, text=True, timeout=600,
+                )
+                if out.returncode != 0:
+                    continue
+                line = out.stdout.strip().splitlines()[-1]
+                line = "\t".join(
+                    t for t in line.split("\t") if not t.startswith("mt:")
+                )
+                total += 1
+                same += line == ours.get(r.id)
+        rig_agree = round(same / max(total, 1), 4)
 
     print(
         json.dumps(
@@ -146,6 +211,8 @@ def main():
                     "wall_s": round(dt, 2),
                     "batch": BATCH,
                     "paths": PATHS,
+                    "remapped": n_remapped[0],
+                    **({"rig_agree": rig_agree} if rig_agree is not None else {}),
                 },
             }
         )

@@ -160,3 +160,64 @@ def load_bwa_index(prefix: str) -> FMIndex:
     )
     fm.compute_kmer_ranges()
     return fm
+
+
+def write_bwa_index(fmi: FMIndex, prefix: str, sa_intv: int = 32) -> None:
+    """Write BWA-format index files from an FMIndex (the inverse of the
+    readers above), so the reference binary / golden rig can map against
+    references we built ourselves (tools/golden_rig/minibwa.cpp reads
+    exactly this layout)."""
+    n = fmi.n
+
+    # .bwt: primary, L2[1..4], then per 128-base block 8 count words
+    # (u64[4] as 8 u32) + 8 base words, plus the trailing count block
+    n_blocks = (n + OCC_INTERVAL - 1) // OCC_INTERVAL
+    base_words_per_block = OCC_INTERVAL // WORD
+    total_base_words = (n + WORD - 1) // WORD
+    # cumulative counts BEFORE each 128-base block, from the 32-base ckpt
+    blk_counts = fmi.ckpt[:: OCC_INTERVAL // 32][: n_blocks + 1].astype(
+        "<u8"
+    )
+    if len(blk_counts) < n_blocks + 1:  # final partial block's tail count
+        blk_counts = np.vstack([blk_counts, fmi.ckpt[-1].astype("<u8")])
+    words = np.zeros(n_blocks * (8 + base_words_per_block), dtype="<u4")
+    wview = words.reshape(n_blocks, 8 + base_words_per_block)
+    wview[:, :8] = (
+        blk_counts[:n_blocks].astype("<u8").view("<u4").reshape(n_blocks, 8)
+    )
+    base_words = np.zeros(n_blocks * base_words_per_block, dtype="<u4")
+    base_words[:total_base_words] = fmi.bwt_words.astype("<u4")
+    wview[:, 8:] = base_words.reshape(n_blocks, base_words_per_block)
+    with open(prefix + ".bwt", "wb") as f:
+        np.asarray([fmi.primary], dtype="<u8").tofile(f)
+        np.asarray(fmi.L2[1:5], dtype="<u8").tofile(f)
+        words.tofile(f)
+        # trailing full-count block (bwa appends the final occ counts)
+        blk_counts[n_blocks].astype("<u8").tofile(f)
+
+    # .sa: primary, L2[1..4], sa_intv, seq_len, then sa of rows
+    # sa_intv, 2*sa_intv, ... (sa[0] = -1 is implicit)
+    n_sa = (n + sa_intv) // sa_intv
+    samp = fmi.sa_full[:: sa_intv][1:n_sa].astype("<u8")
+    with open(prefix + ".sa", "wb") as f:
+        np.asarray([fmi.primary], dtype="<u8").tofile(f)
+        np.asarray(fmi.L2[1:5], dtype="<u8").tofile(f)
+        np.asarray([sa_intv, n], dtype="<u8").tofile(f)
+        samp.tofile(f)
+
+    # .ann / .amb
+    with open(prefix + ".ann", "w") as f:
+        f.write(f"{fmi.l_pac} {len(fmi.ref_names)} 11\n")
+        for name, off, ln in zip(fmi.ref_names, fmi.ref_offsets, fmi.ref_lens):
+            f.write(f"0 {name} (null)\n")
+            f.write(f"{int(off)} {int(ln)} 0\n")
+    with open(prefix + ".amb", "w") as f:
+        f.write(f"{fmi.l_pac} {len(fmi.ref_names)} 0\n")
+
+    # .pac (packed forward reference; trailing l_pac%4 byte per bwa)
+    if fmi.pac is not None:
+        with open(prefix + ".pac", "wb") as f:
+            fmi.pac.astype(np.uint8).tofile(f)
+            if fmi.l_pac % 4 == 0:
+                np.zeros(1, np.uint8).tofile(f)
+            np.asarray([fmi.l_pac % 4], np.uint8).tofile(f)

@@ -47,11 +47,23 @@ def signal_from_codes(
     noise: float = 1.0,
     drift_scale: float = 1.0,
     drift_shift: float = 0.0,
+    stall_p: float = 0.0,
+    skip_p: float = 0.0,
+    slow_drift: float = 0.0,
 ) -> np.ndarray:
     """Simulate raw current for a 5'->3' base sequence.
 
-    The template pore model (uncomplemented) gives per-k-mer level means/stdvs;
-    dwells are geometric-ish (clipped lognormal) around mean_dwell samples.
+    The template pore model (uncomplemented) gives per-k-mer level
+    means/stdvs; dwells are geometric-ish (clipped lognormal) around
+    mean_dwell samples.  The mismatch knobs model what real pores do and
+    the pore model doesn't predict:
+
+    * ``stall_p``: per-kmer chance of a long stall (5-20x dwell)
+    * ``skip_p``: per-kmer chance the translocation is too fast to
+      resolve (1-sample dwell -> the event detector usually merges it)
+    * ``slow_drift``: peak pA of a slow baseline wander across the read
+      (uncorrected drift; the global/rolling normalizer only removes the
+      linear part)
     """
     assert not model.complement, "simulate with the template model"
     kmers = seq_to_kmers(codes)
@@ -60,17 +72,88 @@ def signal_from_codes(
     dwells = np.maximum(
         2, rng.lognormal(np.log(mean_dwell * 0.85), 0.45, len(kmers))
     ).astype(np.int64)
-    total = int(dwells.sum())
-    out = np.empty(total, dtype=np.float32)
-    pos = 0
-    starts = np.concatenate([[0], np.cumsum(dwells)])
+    if stall_p > 0:
+        stalls = rng.random(len(kmers)) < stall_p
+        dwells[stalls] = (
+            dwells[stalls] * rng.integers(5, 21, int(stalls.sum()))
+        )
+    if skip_p > 0:
+        skips = rng.random(len(kmers)) < skip_p
+        dwells[skips] = 1
     idx = np.repeat(np.arange(len(kmers)), dwells)
     out = (
         levels[idx] * drift_scale
         + drift_shift
         + rng.normal(0.0, noise * np.maximum(stdvs[idx], 1.0))
     ).astype(np.float32)
+    if slow_drift > 0:
+        t = np.linspace(0.0, 1.0, len(out), dtype=np.float32)
+        phase = rng.uniform(0, 2 * np.pi)
+        out += np.float32(slow_drift) * np.sin(
+            2 * np.pi * rng.uniform(0.5, 2.0) * t + phase
+        ).astype(np.float32)
     return out
+
+
+def realistic_genome(n_bp: int, seed: int = 0) -> str:
+    """A bacterial-genome-like sequence: order-1 Markov backbone with
+    GC/purine bias plus the repeat structure that actually stresses a
+    seed mapper — dispersed IS-element families with divergent copies,
+    a low-divergence rRNA-like operon repeated ~7x, and short tandem
+    repeats.  (The uniform-random genome the round-1 bench used has no
+    repeats at all, which flatters mapping accuracy and speed —
+    VERDICT r1 "the benchmark is a softball".)"""
+    rng = np.random.default_rng(seed)
+
+    # E. coli-ish order-1 transition matrix (rows ACGT -> cols ACGT)
+    T = np.array(
+        [
+            [0.30, 0.22, 0.20, 0.28],
+            [0.26, 0.24, 0.28, 0.22],
+            [0.24, 0.28, 0.24, 0.24],
+            [0.20, 0.24, 0.26, 0.30],
+        ]
+    )
+    T = T / T.sum(axis=1, keepdims=True)
+
+    def markov(n, start=None):
+        cum = np.cumsum(T, axis=1)
+        out = np.empty(n, dtype=np.int8)
+        b = rng.integers(4) if start is None else start
+        u = rng.random(n)
+        for i in range(n):
+            b = int(np.searchsorted(cum[b], u[i]))
+            out[i] = b
+        return out
+
+    genome = markov(n_bp)
+
+    def mutate(seq, div):
+        seq = seq.copy()
+        m = rng.random(len(seq)) < div
+        seq[m] = (seq[m] + rng.integers(1, 4, int(m.sum()))) % 4
+        return seq
+
+    def paste(seq):
+        at = int(rng.integers(0, n_bp - len(seq)))
+        genome[at : at + len(seq)] = seq
+
+    # dispersed IS-element families (high copy, a few % divergence)
+    for _ in range(8):
+        cons = markov(int(rng.integers(768, 1400)))
+        for _ in range(int(rng.integers(5, 20))):
+            paste(mutate(cons, rng.uniform(0.01, 0.04)))
+    # rRNA-like operon: long, near-identical copies
+    operon = markov(min(5000, n_bp // 20))
+    for _ in range(7):
+        paste(mutate(operon, 0.005))
+    # short tandem repeats
+    for _ in range(30):
+        unit = markov(int(rng.integers(3, 12)))
+        reps = int(rng.integers(5, 30))
+        paste(np.tile(unit, reps)[: n_bp // 100])
+
+    return "".join("ACGT"[c] for c in genome)
 
 
 def simulate_reads(
@@ -80,7 +163,11 @@ def simulate_reads(
     seed: int = 0,
     noise: float = 1.0,
     model: PoreModel | None = None,
+    mismatch: bool = False,
 ) -> list[SimRead]:
+    """``mismatch`` simulates with a model the mapper does NOT have:
+    per-read calibration jitter, extra noise, pore stalls, fast skips,
+    and slow baseline wander (see signal_from_codes)."""
     from ..index.build import read_fasta
 
     model = model or PoreModel.load_npz(complement=False)
@@ -96,7 +183,16 @@ def simulate_reads(
         fwd = bool(rng.integers(2))
         if not fwd:
             frag = revcomp_codes(frag)
-        sig = signal_from_codes(frag, model, rng, noise=noise)
+        if mismatch:
+            sig = signal_from_codes(
+                frag, model, rng,
+                noise=max(noise, 1.0) * 1.25,
+                drift_scale=float(rng.normal(1.0, 0.02)),
+                drift_shift=float(rng.normal(0.0, 1.5)),
+                stall_p=0.01, skip_p=0.03, slow_drift=2.0,
+            )
+        else:
+            sig = signal_from_codes(frag, model, rng, noise=noise)
         reads.append(
             SimRead(
                 id=f"sim_{i:04d}_{name[:16]}_{st}_{'+' if fwd else '-'}",
