@@ -137,3 +137,24 @@ def test_translate_loc(small_index):
     assert name == "chr_test"
     assert off == 10
     assert ln == len(seq)
+
+
+def test_range_to_fms(example_index):
+    """range_to_fms (bwa_index.hpp:265-333): every returned FM row's SA
+    value must point back at the corresponding range position on the
+    right strand."""
+    fmi = example_index
+    name = fmi.ref_names[0]
+    st, en = 5000, 5030
+    rev_fms, fwd_fms = fmi.range_to_fms(name, st, en)
+    assert len(fwd_fms) == en - st
+    assert len(rev_fms) == en - st
+    pac_min = fmi.get_sa_loc(name, st)
+    pac_max = pac_min + (en - st) - 1
+    # fwd_fms[j] is the row whose suffix starts at pac_max - j
+    for j, f in enumerate(fwd_fms):
+        assert int(fmi.sa(f)) == pac_max - j
+    # rev_fms[j] is the reverse-strand row whose ref_en (n - sa, the
+    # engine/seed convention) is one past the covered position
+    for j, f in enumerate(rev_fms):
+        assert fmi.n - int(fmi.sa(f)) == pac_min + j + 1

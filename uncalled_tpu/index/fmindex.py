@@ -172,6 +172,62 @@ class FMIndex:
         i = np.asarray(i, dtype=np.int64)
         return (self.pac[i >> 2] >> (((i ^ 3) & 3) * 2).astype(np.uint8)) & 3
 
+
+    def range_to_fms(self, ref_name: str, start: int, end: int):
+        """FM rows covering each position of a reference range, both
+        strands: (rev_fms, fwd_fms) — BwaIndex::range_to_fms
+        (bwa_index.hpp:265-333), the debug flow's reverse mapping from
+        annotation coordinates to FM coordinates.
+
+        Walks a backward extension seeded ``slop = ceil(log4(ref_len))``
+        bases outside the range, pins the exact row by scanning the SA
+        for the range boundary, then records the row at every step of
+        the in-range walk.  Requires ``pac``.
+        """
+        assert self.pac is not None, "range_to_fms needs the packed ref"
+        ref_len = self.n // 2
+        slop = int(np.ceil(np.log(max(ref_len, 2)) / np.log(4)))
+        pac_min = self.get_sa_loc(ref_name, start)
+        pac_max = pac_min + (end - start) - 1
+
+        def gb(i):
+            return int(self.get_base(i))
+
+        # forward strand: extend from pac_max+slop down to pac_max,
+        # disambiguate via SA, then record rows down to pac_min
+        fwd_st = pac_max + slop if ref_len - pac_max > slop else ref_len - 1
+        r = self.base_range(gb(fwd_st))
+        i = fwd_st - 1
+        while i >= pac_max and i <= fwd_st:
+            r = self.extend(r[0], r[1], gb(i))
+            i -= 1
+        for f in range(int(r[0]), int(r[1]) + 1):
+            if int(self.sa(f)) == pac_max:
+                r = (f, f)
+                break
+        fwd_fms = [int(r[0])]
+        i = pac_max - 1
+        while i >= pac_min and i < pac_max:
+            r = self.extend(r[0], r[1], gb(i))
+            fwd_fms.append(int(r[0]))
+            i -= 1
+
+        # reverse strand: same walk on the complement, ascending
+        rev_st = pac_min - slop if pac_min > slop else 0
+        r = self.base_range(3 - gb(rev_st))
+        for i in range(rev_st + 1, pac_min + 1):
+            r = self.extend(r[0], r[1], 3 - gb(i))
+        for f in range(int(r[0]), int(r[1]) + 1):
+            if self.n - int(self.sa(f)) == pac_min:
+                r = (f, f)
+                break
+        rev_fms = [int(r[0])]
+        for i in range(pac_min + 1, pac_max + 1):
+            r = self.extend(r[0], r[1], 3 - gb(i))
+            rev_fms.append(int(r[0]))
+
+        return rev_fms, fwd_fms
+
     def get_sa_loc(self, name: str, coord: int) -> int:
         rid = self.ref_names.index(name)
         return int(self.ref_offsets[rid]) + coord
