@@ -169,3 +169,28 @@ def test_sampled_sa_paf_identical(
     got = {p.rd_name: p.to_line() for p in bm.map_reads(reads)}
     for rid in FAST_SUBSET:
         assert got[rid] == golden_pafs[rid], rid
+
+
+def test_device_dsp_wave_matches_host(
+    example_index, example_threshes, pore_model, make_read, golden_reads,
+):
+    """Opt-in device DSP (detect_block wave): same mapped locations as the
+    host DSP path (event means differ in the last ulps by design, so the
+    gate is positional, not byte)."""
+    conf = Conf()
+    conf.engine.batch_reads = 4
+    conf.engine.device_dsp = True
+    bm_dev = BatchMapper(example_index, pore_model, example_threshes, conf)
+    conf2 = Conf()
+    conf2.engine.batch_reads = 4
+    bm_host = BatchMapper(example_index, pore_model, example_threshes, conf2)
+    rids = FAST_SUBSET
+    reads = [make_read(r, golden_reads[r]) for r in rids]
+    dev = {p.rd_name: p for p in bm_dev.map_reads(reads)}
+    host = {p.rd_name: p for p in bm_host.map_reads(reads)}
+    for rid in rids:
+        d, h = dev[rid], host[rid]
+        assert d.is_mapped == h.is_mapped, rid
+        assert d.rf_name == h.rf_name, rid
+        assert abs(d.rf_st - h.rf_st) < 50, (rid, d.rf_st, h.rf_st)
+        assert d.fwd == h.fwd, rid

@@ -129,6 +129,12 @@ class EngineParams:
     max_clusters: int = 384  # seed-cluster table capacity per read
     evt_block: int = 64  # events advanced per jitted super-step
     signal_block: int = 4096  # samples per event-detection block
+    # batch-path DSP on device (ops/events.detect_block): batched event
+    # detection for a whole refill wave in one jitted stream. Uses f32
+    # block-local prefix sums, so event means differ from the host/C++
+    # detector in the last ulps -> NOT byte-PAF-exact; opt in when
+    # throughput matters more than reference byte-parity.
+    device_dsp: bool = False
     # remap ladder: reads whose engine run trips ANY fixed budget (path /
     # candidate / seed-row / cluster capacity) are re-mapped on a wide
     # engine at the reference's exact max_paths, so the narrow budgets are

@@ -82,6 +82,58 @@ class BatchMapper:
         return self._wide_mapper
 
     # ------------------------------------------------------------- events
+    def _prepare_wave(self, reads) -> list:
+        """Batched on-device DSP for a refill wave (conf.engine.device_dsp):
+        one detect_block stream over all new reads at once instead of
+        serial per-read host detection.  The JAX detector's f32
+        block-local sums make event means differ in the last ulps from
+        the host/C++ path, so this mode trades reference byte-parity for
+        throughput (see EngineParams docs)."""
+        import jax.numpy as jnp
+
+        from ..ops.events import detect_block, make_detector_state
+
+        sb = self.conf.engine.signal_block
+        Bw = len(reads)
+        L = max(r.raw_len for r in reads)
+        nb = max(-(-L // sb), 1)
+        sigs = np.zeros((Bw, nb * sb), np.float32)
+        for i, r in enumerate(reads):
+            sigs[i, : r.raw_len] = r.signal
+        state = make_detector_state(Bw)
+        means = [[] for _ in reads]
+        lens = [[] for _ in reads]
+        ed = self.conf.event_detector
+        for b in range(nb):
+            state, out = detect_block(
+                state, jnp.asarray(sigs[:, b * sb : (b + 1) * sb])
+            )
+            fired = np.asarray(out["fired"])
+            m = np.asarray(out["mean"])
+            ln = np.asarray(out["length"])
+            st = np.asarray(out["start"])
+            for i, r in enumerate(reads):
+                # drop events born in the zero padding past the signal
+                keep = fired[i] & (st[i] < r.raw_len)
+                means[i].append(m[i][keep])
+                lens[i].append(ln[i][keep])
+        slots = []
+        cap = self.conf.mapper.max_events
+        for i, r in enumerate(reads):
+            mm = np.concatenate(means[i]) if means[i] else np.zeros(0, F32)
+            ll = np.concatenate(lens[i]) if lens[i] else np.zeros(0, F32)
+            mask = (mm >= ed.min_mean) & (mm <= ed.max_mean)
+            mm, ll = mm[mask], ll[mask]
+            mel = F32(ll.sum()) / F32(len(ll)) if len(ll) else F32(0)
+            norm, _, _ = normalize_events(
+                mm, self.conf.normalizer.tgt_mean,
+                self.conf.normalizer.tgt_stdv,
+            )
+            slots.append(
+                _Slot(read=r, means=norm[:cap], fed=0, mean_evt_len=mel)
+            )
+        return slots
+
     def _prepare(self, read) -> _Slot:
         ed = self.conf.event_detector
         from .. import native
@@ -157,19 +209,26 @@ class BatchMapper:
         def refill(state):
             nonlocal pending
             mask = np.zeros(B, bool)
+            incoming = []
             for b in range(B):
                 if slots[b] is None:
                     try:
-                        r = next(it)
+                        incoming.append((b, next(it)))
                     except StopIteration:
-                        continue
-                    slots[b] = self._prepare(r)
-                    slots[b].t_start = __import__("time").time()
-                    mask[b] = True
-                    pending += 1
-            if mask.any():
-                state = self.eng.reset_slots(state, mask)
-            return state
+                        break
+            if not incoming:
+                return state
+            if self.conf.engine.device_dsp and len(incoming) > 1:
+                new_slots = self._prepare_wave([r for _, r in incoming])
+            else:
+                new_slots = [self._prepare(r) for _, r in incoming]
+            now = __import__("time").time()
+            for (b, _), s in zip(incoming, new_slots):
+                s.t_start = now
+                slots[b] = s
+                mask[b] = True
+                pending += 1
+            return self.eng.reset_slots(state, mask)
 
         remap = self.conf.engine.remap_wide and not self._wide
         overflowed = []
