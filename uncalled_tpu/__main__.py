@@ -28,6 +28,35 @@ def _add_engine_opts(p):
                    help="threshold preset name from the .uncl file")
 
 
+def _add_conf_args(p):
+    """Reflect every Conf sub-struct field into --section-field flags
+    (the reference generates its CLI from Conf the same way,
+    uncalled/args.py:223-304); defaults shown are the Conf defaults."""
+    import dataclasses
+
+    from .config import Conf
+
+    conf = Conf()
+    g = p.add_argument_group("config overrides (--<section>-<field>)")
+    for f in dataclasses.fields(Conf):
+        sub = getattr(conf, f.name)
+        if not dataclasses.is_dataclass(sub):
+            continue
+        for sf in dataclasses.fields(type(sub)):
+            if not isinstance(sf.type, str) or sf.type not in (
+                "int", "float", "str", "bool"
+            ):
+                continue
+            flag = f"--{f.name.replace('_', '-')}-{sf.name.replace('_', '-')}"
+            default = getattr(sub, sf.name)
+            kw = dict(default=None, dest=f"conf__{f.name}__{sf.name}")
+            if sf.type == "bool":
+                kw["type"] = lambda s: s.lower() in ("1", "true", "yes")
+            else:
+                kw["type"] = {"int": int, "float": float, "str": str}[sf.type]
+            g.add_argument(flag, help=f"[{default}]", **kw)
+
+
 def _load_conf(args):
     from .config import Conf
 
@@ -37,6 +66,12 @@ def _load_conf(args):
     if hasattr(args, "batch_reads"):
         conf.engine.batch_reads = args.batch_reads
         conf.engine.evt_block = args.evt_block
+    # reflected --section-field overrides (highest precedence)
+    for k, v in vars(args).items():
+        if v is None or not k.startswith("conf__"):
+            continue
+        _, section, field = k.split("__", 2)
+        setattr(getattr(conf, section), field, v)
     return conf
 
 
@@ -210,6 +245,7 @@ def main(argv=None):
     p.add_argument("--ord", action="store_true",
                    help="replay reads in realtime chunk order (MapPoolOrd)")
     _add_engine_opts(p)
+    _add_conf_args(p)
     p.set_defaults(fn=map_cmd)
 
     p = sub.add_parser("pafstats", help="PAF accuracy/speed statistics")
@@ -233,6 +269,7 @@ def main(argv=None):
     p.add_argument("--even", action="store_true")
     p.add_argument("--odd", action="store_true")
     _add_engine_opts(p)
+    _add_conf_args(p)
     p.set_defaults(fn=sim_cmd)
 
     p = sub.add_parser("mask", help="repeat-mask a reference fasta")
@@ -275,6 +312,7 @@ def main(argv=None):
     p.add_argument("--odd", action="store_true")
     p.add_argument("--chunk-time", type=float, default=1.0)
     _add_engine_opts(p)
+    _add_conf_args(p)
     p.set_defaults(fn=realtime_cmd)
 
     args = ap.parse_args(argv)
