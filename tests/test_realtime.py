@@ -203,3 +203,52 @@ def test_backlog_shedding(example_index, example_threshes, pore_model,
         rt2.channels[0].dsp.norm.unread_size()
         > ch.dsp.norm.unread_size()
     )
+
+
+def test_cigar_query_to_refs_and_compare(tmp_path, example_index,
+                                         example_threshes, pore_model,
+                                         golden_reads, make_read):
+    """cigar query->ref mapping (debug.py:520-549 role) + seed scoring
+    against a synthetic basecalled alignment."""
+    from uncalled_tpu.debug import (
+        DebugParser, cigar_query_to_refs, compare_seeds_to_basecall,
+        dump_read,
+    )
+    from uncalled_tpu.mapping.batch import BatchMapper
+    from uncalled_tpu.pafstats import PafEntry
+
+    line = ("q1\t100\t0\t100\t+\tref\t10000\t500\t600\t90\t100\t60\t"
+            "cg:Z:50M2D30M1I19M")
+    p = PafEntry(line)
+    m = cigar_query_to_refs(p)
+    assert m[0] == [0]
+    assert m[49] == [49]
+    # the D op pairs its boundary query position too (reference zip
+    # semantics), then the next M continues past the 2-base deletion
+    assert m[50] == [50, 52]
+    assert m[79] == [81]
+    assert m[80] == [82]  # insertion consumes query only
+    assert m[81] == [82]
+
+    # end-to-end: dump a golden read, compare its seeds to a "basecalled"
+    # alignment synthesized from the truth position
+    conf = Conf()
+    conf.engine.batch_reads = 1
+    bm = BatchMapper(example_index, pore_model, example_threshes, conf)
+    rid = "sim_0000_Escherichia_coli_3854_+"
+    prefix = str(tmp_path / "dbg_")
+    paf, _ = dump_read(bm, make_read(rid, golden_reads[rid]), prefix)
+    dp = DebugParser(prefix, rid)
+    qlen = paf.rd_len
+    bc_line = (
+        f"{rid}\t{qlen}\t0\t{qlen}\t+\t{paf.rf_name}\t10000\t"
+        f"{max(paf.rf_st - 20, 0)}\t{paf.rf_en}\t{qlen}\t{qlen}\t60\t"
+        f"cg:Z:{qlen}M"
+    )
+    bc_paf = tmp_path / "bc.paf"
+    bc_paf.write_text(bc_line + "\n")
+    rows, summary = compare_seeds_to_basecall(dp, str(bc_paf), rid)
+    assert summary["n_scored"] > 0
+    assert summary["median_err"] is not None
+    # seeds cluster near the basecalled alignment
+    assert summary["frac_within_100"] > 0.5

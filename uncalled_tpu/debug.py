@@ -193,3 +193,93 @@ class DebugParser:
                          len=en - st)
                 )
         return sorted(clusters, key=lambda c: -c["len"])
+
+
+# ---------------------------------------------------------------------------
+# basecalled-alignment comparison (reference debug.py:520-549)
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+_CIG_RE = _re.compile(r"(\d+)([MIDNSHP=X])")
+_CIG_INCR_RD = set("MIS=X")
+_CIG_INCR_RF = set("MDN=X")
+
+
+def cigar_query_to_refs(paf_entry):
+    """query-bp -> [ref offsets] from a basecalled PAF's cg cigar
+    (reference debug.py:520-549 _cig_query_to_refs).  Ref offsets are
+    relative to the alignment's rf_st; returns None without a cigar."""
+    cig = paf_entry.tags.get("cg", (None,))[0]
+    if cig is None:
+        return None
+    ops = _CIG_RE.findall(cig)
+    if not paf_entry.is_fwd:
+        ops = list(reversed(ops))
+    qr_rfs: dict[int, list[int]] = {}
+    qr_i, rf_i = paf_entry.qr_st, 0
+    for l, c in ops:
+        l = int(l)
+        incr_qr = c in _CIG_INCR_RD
+        incr_rf = c in _CIG_INCR_RF
+        qr_j = qr_i + (l if incr_qr else 1)
+        rf_j = rf_i + (l if incr_rf else 1)
+        for qr, rf in zip(range(qr_i, qr_j), range(rf_i, rf_j)):
+            qr_rfs.setdefault(qr, []).append(rf)
+        if incr_qr:
+            qr_i = qr_j
+        if incr_rf:
+            rf_i = rf_j
+    return qr_rfs
+
+
+def compare_seeds_to_basecall(parser: "DebugParser", bc_paf_path: str,
+                              read_id: str, bp_per_evt: float = 0.45):
+    """Score dumped seeds against a basecalled alignment (the reference
+    debug flow's ground-truthing): for each seed, translate its event
+    index to an approximate query bp (bp_per_evt ~ pore rate / event
+    rate), look up where the cigar places that query position on the
+    reference, and report the distance.  Returns a list of dicts plus
+    summary stats; None if no cigar alignment exists for the read."""
+    from .pafstats import parse_paf
+
+    bc = None
+    for p in parse_paf(bc_paf_path):
+        if p.qr_name == read_id and p.is_mapped:
+            bc = p
+            break
+    if bc is None:
+        return None
+    qr_rfs = cigar_query_to_refs(bc)
+    if not qr_rfs:
+        return None
+
+    rows = []
+    errs = []
+    for name, st, en, evt, mc, fwd in parser.seeds:
+        if name != bc.rf_name:
+            rows.append(dict(evt=evt, seed_st=st, err=None, off_ref=True))
+            continue
+        qr = int(evt * bp_per_evt)
+        refs = qr_rfs.get(qr)
+        if refs is None:
+            # nearest cigar-covered query position
+            near = min(qr_rfs, key=lambda q: abs(q - qr), default=None)
+            refs = qr_rfs.get(near, [])
+        if not refs:
+            continue
+        expect = bc.rf_st + (
+            refs[0] if bc.is_fwd else (bc.rf_en - bc.rf_st) - refs[0]
+        )
+        err = min(abs(st - expect), abs(en - expect))
+        rows.append(dict(evt=evt, seed_st=st, expect=expect, err=err,
+                         off_ref=False))
+        errs.append(err)
+    errs = np.asarray(errs)
+    summary = dict(
+        n_seeds=len(rows),
+        n_scored=len(errs),
+        median_err=float(np.median(errs)) if len(errs) else None,
+        frac_within_100=float((errs <= 100).mean()) if len(errs) else None,
+    )
+    return rows, summary
