@@ -697,12 +697,27 @@ def _event_step(idx, p: EngineParams, st, ev, ev_on):
     # ---- candidate flags in creation order (stay, then moves A..T) ----
     pv = st["p_total"] > 0
     fmlen = st["p_end"] - st["p_start"] + 1
-    thresh = _shared_gather(idx["threshes"], _fm_bin(fmlen), p.mxu)
     nk4 = ((st["p_kmer"][:, :, None] << 2) & KMASK) | jnp.arange(4, dtype=i32)
-    allk = jnp.concatenate([st["p_kmer"], nk4.reshape(B, P * 4)], axis=1)
-    allp = _row_gather(probs, allk, p.mxu)  # [B, 5P] stay + move probs
+    # one gather for the whole flags stage: probs at the stay + 4 move
+    # kmers AND the per-path fm-bin threshold ride a single per-row table
+    # (threshes appended after the 1024 prob slots)
+    ptbl = jnp.concatenate(
+        [
+            probs,
+            jnp.broadcast_to(
+                idx["threshes"][None, :], (B, idx["threshes"].shape[0])
+            ),
+        ],
+        axis=1,
+    )
+    allk = jnp.concatenate(
+        [st["p_kmer"], nk4.reshape(B, P * 4), KMER_COUNT + _fm_bin(fmlen)],
+        axis=1,
+    )
+    allp = _row_gather(ptbl, allk, p.mxu)  # [B, 6P]
     stay_p = allp[:, :P]
-    mv_p = allp[:, P:].reshape(B, P, 4)
+    mv_p = allp[:, P : 5 * P].reshape(B, P, 4)
+    thresh = allp[:, 5 * P :]
     stay_f = pv & (st["p_consec"] < p.max_consec_stay) & (stay_p >= thresh)
     # polarity parity: the reference skips a move when prob < thresh
     # (mapper.cpp:489), so a NaN threshold (possible in fitted .uncl files,

@@ -1,40 +1,44 @@
 """MXU one-hot gather kernels (Pallas TPU).
 
-XLA-TPU gathers cost ~10-14ns *per index* (docs/PERF.md): they serialize
+XLA-TPU gathers cost ~10.5ns *per index* (docs/PERF.md): they serialize
 through the scalar load path, and the mapping engine is gather-bound on
 them.  These kernels re-express small-table gathers as one-hot
-contractions instead:
+contractions instead.
 
-  * level 1 (MXU): a one-hot ``[K, H]`` int8 matrix times the table
-    reshaped ``[H, W*F]`` selects each index's row-block — flops are ~free
-    on the systolic array;
-  * level 2 (VPU+MXU): a one-hot mask over the W positions zeroes
-    everything but the hit; a constant ``[F, W*F]`` bf16 matmul collapses
-    the W axis per field (exact: masked per-plane values fit in
-    [-128, 127]).
+Layout (the whole trick — v2, transposed): indices live on LANES, table
+rows on SUBLANES/contraction:
+
+  * the table [B, N(,F)] reshapes to [B, W*F, H] with W=8 and H=N/W: a
+    narrow "W-slot" dimension and a fat contraction H;
+  * level 1 (VPU, once per block): one-hot ``oh[h, k] = (h == idx[k]//W)``
+    built [RB, H, KC] int8 straight into VMEM scratch — no lane padding
+    (KC is the lane dim), reused by all four byte planes;
+  * level 2 (MXU, per plane): ``rows = plane_T @ oh`` — [W*F, H] x
+    [H, KC] — a fat-contraction matmul whose output [W*F, KC] is ~16x
+    smaller than the old [KC, W*F]-lanes layout;
+  * level 3: a W-position mask (plane-invariant, in the same scratch)
+    zeroes everything but the hit; for F>1 a constant [F, W*F] bf16
+    collapse matmul emits the [F, RB, KC] output directly (exact:
+    per-plane values fit [-128, 127]).
 
 int32 payloads ride as four exact signed-byte planes (int8 x int8
-accumulates into int32 on the MXU), so the gather is **bit-exact** for any
-32-bit payload; f32 fields are bitcast.  Planes run on an inner grid axis
-that accumulates into the revisited output block — the remote Mosaic
-compiler rejects kernels holding 3+ f32 matmuls and rank-4 reshapes, so
-the kernel stays rank<=3 with one int8 + one bf16 dot per grid step.
+accumulates into int32 on the MXU), so the gather is **bit-exact** for
+any 32-bit payload; f32 fields are bitcast.
 
-Layout: everything is computed and stored as ``[F, B, K]`` (fields major)
-so the minor dims are (8-row sublanes, K lanes) with **zero pad waste**; a
-``[B, K, F]`` layout would pad F up to 128 lanes and cost up to 128x the
-output bandwidth.  Callers get per-field [B, K] slices, which are exactly
-what the engine unpacks anyway.
+x64-mode rules (the engine enables jax_enable_x64 for f64 match probs;
+Mosaic cannot lower any 64-bit type): no jnp ``//`` (lowers through f64),
+no python-int clip bounds or where fills, np.int32 constants in BlockSpec
+index maps, dtype-pinned sums.
 
-Cost model: flops per index ~ N*F (the whole table row-block); profitable
+Cost model: MACs per index ~ N*F (the whole table row-block); profitable
 for tables up to a few thousand rows (path tables, per-read prob tables,
 k-mer ranges) — NOT for the big occ/SA tables, which stay on XLA's
 per-index gather path.
 
-Reference context: these gathers are the per-event path-table reads of the
-reference mapper's hot loop (mapper.cpp:433-663), which a CPU serves from
-L1; on TPU the MXU is the only unit that can look up thousands of rows per
-cycle, so the lookup is re-expressed as matmul.
+Reference context: these gathers are the per-event path-table reads of
+the reference mapper's hot loop (mapper.cpp:433-663), which a CPU serves
+from L1; on TPU the MXU is the only unit that can look up thousands of
+rows per cycle, so the lookup is re-expressed as matmul.
 """
 
 from __future__ import annotations
@@ -44,6 +48,7 @@ import functools
 import numpy as np
 
 _PLANE_BIAS = np.int32(-0x7F7F7F80)  # 0x80808080 wrapped: sum of (+128 << 8s)
+W = 8  # table positions per contraction row (the narrow sublane dim)
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -61,102 +66,61 @@ def _use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def _pick_layout(n: int, f: int):
-    """Choose (H, W): H*W >= n, W*F a modest lane count (<=1024)."""
-    w = 128
-    while w > 8 and w * f > 1024:
-        w //= 2
-    return _cdiv(n, w), w
+def _pick_kc(k: int, h: int, f: int) -> int:
+    """Lane-dim chunk: the binding constraint is the i32 iota that the
+    one-hot build materializes before its int8 cast ([RB, max(H, W*F),
+    KC] i32) — keep it ~<=4MB."""
+    budget = 4_000_000 // (8 * max(h, W * f) * 4)
+    kc = max(512, min(8192, budget // 512 * 512))
+    return min(kc, _round_up(k, 512))
 
 
-def _pick_kc(k: int, wf: int, rb: int) -> int:
-    """Index-chunk: keep the [RB, KC, W*F] i32 rows buffer ~<=4MB/block."""
-    kc = (4_000_000 // (4 * rb * wf)) // 128 * 128
-    kc = max(128, min(2048, kc))
-    return min(kc, _round_up(k, 128))
+def _gather_kernel(t_ref, i_ref, o_ref, oh_ref, mask_ref, *, H, F, KC):
+    """One byte-plane of the transposed one-hot gather.
 
-
-def _gather_kernel(t_ref, i_ref, o_ref, acc_ref, *, H, W, F, shared):
-    """One byte-plane of the one-hot gather (see module docstring).
-
-    The expensive part is NOT the MXU dot but the VPU passes over the
-    [KC, W*F] row blocks (one-hot build + select).  So each plane step
-    only dots and shift-accumulates rows into a VMEM scratch; the select/
-    collapse runs ONCE, on the recombined int32 rows at the last plane.
-    (The select is exact on recombined values: exactly one w survives.)
-
-    t_ref: [RB, H, W*F] int32 table block ([H, W*F] when shared)
+    t_ref: [RB, W*F, H] int32 table block (transposed layout)
     i_ref: [RB, KC] int32 indices (preclamped to [0, H*W))
-    o_ref: [F, RB, KC] int32 (written at the last plane step)
-    acc_ref: [RB, KC, W*F] int32 scratch accumulating the planes
+    o_ref: [F, RB, KC] int32, accumulated across the 4 plane grid steps
+    oh_ref: [RB, H, KC] int8 scratch — level-1 one-hot, built at s == 0
+    mask_ref: [RB, W*F, KC] int8 scratch — W-position mask, built at s == 0
     """
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
 
-    RB, KC = i_ref.shape
+    RB = i_ref.shape[0]
     s = pl.program_id(2)  # plane axis, innermost
-    idx = i_ref[...]
-    # lax.div, not //: jnp floor-division lowers through f64 under x64
-    # mode, which Mosaic cannot lower (operands are non-negative, so
-    # truncating division is exact here)
-    hi = jax.lax.div(idx, np.int32(W))
 
-    # signed-byte plane s: c_s = ((v >> 8s) & 0xFF) - 128  (v = sum c_s<<8s
-    # + 0x80808080; arithmetic >> is fine, & 0xFF drops the smeared sign)
-    plane = ((jnp.right_shift(t_ref[...], s * 8) & 0xFF) - 128).astype(jnp.int8)
-
-    oh_hi = (
-        hi[:, :, None] == jax.lax.broadcasted_iota(jnp.int32, (RB, KC, H), 2)
-    ).astype(jnp.int8)
-    if shared:
-        rows = jax.lax.dot_general(
-            oh_hi, plane, (((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )  # [RB, KC, W*F]
-    else:
-        rows = jax.lax.dot_general(
-            oh_hi, plane, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.int32,
+    @pl.when(s == 0)
+    def _build():
+        idx = i_ref[...]
+        # lax.div, not //: jnp floor-division lowers through f64 under
+        # x64 mode (operands non-negative, truncation exact)
+        hi = jax.lax.div(idx, np.int32(W))
+        lo = idx - hi * W
+        oh_ref[...] = (
+            hi[:, None, :]
+            == jax.lax.broadcasted_iota(jnp.int32, (RB, H, KC), 1)
+        ).astype(jnp.int8)
+        # sublane position x holds (w = x // F, f = x % F)
+        wslot = jax.lax.div(
+            jax.lax.broadcasted_iota(jnp.int32, (RB, W * F, KC), 1),
+            np.int32(F),
         )
+        mask_ref[...] = (wslot == lo[:, None, :]).astype(jnp.int8)
+        o_ref[...] = jnp.full(o_ref.shape, _PLANE_BIAS, jnp.int32)
 
+    # signed-byte plane s: c_s = ((v >> 8s) & 0xFF) - 128  (v = sum
+    # c_s<<8s + 0x80808080; arithmetic >> ok, & 0xFF drops smeared sign)
+    plane = ((jnp.right_shift(t_ref[...], s * 8) & 0xFF) - 128).astype(jnp.int8)
+    rows = jax.lax.dot_general(
+        plane, oh_ref[...], (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32,
+    )  # [RB, W*F, KC]
+    masked = rows * mask_ref[...].astype(jnp.int32)
     if F == 1:
-        # accumulate recombined int32 rows; select ONCE at the last plane
-        @pl.when(s == 0)
-        def _init():
-            acc_ref[...] = rows
-
-        @pl.when(s != 0)
-        def _accum():
-            acc_ref[...] += jnp.left_shift(rows, s * 8)
-
-        @pl.when(s == 3)
-        def _select():
-            lo = idx - hi * W
-            oh_lo = lo[:, :, None] == jax.lax.broadcasted_iota(
-                jnp.int32, (RB, KC, W), 2
-            )
-            g = jnp.sum(
-                jnp.where(oh_lo, acc_ref[...], np.int32(0)),
-                axis=2, dtype=jnp.int32,
-            )[None]  # dtypes pinned: x64 mode promotes the weak-int 0 and
-            # the sum to i64, which Mosaic cannot lower
-            o_ref[...] = g + _PLANE_BIAS
+        g = jnp.sum(masked, axis=1, dtype=jnp.int32)[None]  # [1, RB, KC]
     else:
-        # the bf16 collapse dot must see per-plane values (|v| <= 128,
-        # bf16-exact), so it runs every plane — but the W-position mask
-        # is plane-invariant: build it once into scratch
-        @pl.when(s == 0)
-        def _mask():
-            lo = idx - hi * W
-            wf_pos = jax.lax.div(
-                jax.lax.broadcasted_iota(jnp.int32, (RB, KC, W * F), 2),
-                np.int32(F),
-            )
-            acc_ref[...] = (wf_pos == lo[:, :, None]).astype(jnp.int32)
-            o_ref[...] = jnp.full(o_ref.shape, _PLANE_BIAS, jnp.int32)
-
-        masked = rows * acc_ref[...]
         # collapse[f, x] = (x % F == f); bf16 exact for |v| <= 128
         collapse = (
             jax.lax.rem(
@@ -166,16 +130,17 @@ def _gather_kernel(t_ref, i_ref, o_ref, acc_ref, *, H, W, F, shared):
             == jax.lax.broadcasted_iota(jnp.int32, (F, W * F), 0)
         ).astype(jnp.bfloat16)
         g = jax.lax.dot_general(
-            collapse, masked.astype(jnp.bfloat16), (((1,), (2,)), ((), ())),
+            collapse, masked.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).astype(jnp.int32)  # [F, RB, KC]
-        o_ref[...] += jnp.left_shift(g, s * 8)
+
+    o_ref[...] += jnp.left_shift(g, s * 8)
 
 
-def _gather_i32(tbl, idx, shared: bool, rb: int = 8):
+def _gather_i32(tbl, idx, shared: bool):
     """Core: tbl [B, N, F] (or [N, F] shared) int32, idx [B, K] int32.
 
-    Returns [F, B, K] int32 (fields-major; see module docstring).
+    Returns [F, B, K] int32 (fields-major).
     """
     import jax
     import jax.numpy as jnp
@@ -185,40 +150,43 @@ def _gather_i32(tbl, idx, shared: bool, rb: int = 8):
     B, K = idx.shape
     N, F = tbl.shape[-2:]
 
-    H, W = _pick_layout(N, F)
-    RB = rb
-    KC = _pick_kc(K, W * F, RB)
+    H = _cdiv(N, W)
+    KC = _pick_kc(K, H, F)
+    RB = 8
     Bp, Kp, Np = _round_up(B, RB), _round_up(K, KC), H * W
 
-    # min/max with i32 consts, not jnp.clip: under x64 clip's python-int
-    # bounds materialize i64 scalars in the jaxpr
+    # min/max with i32 consts, not jnp.clip (x64: i64 scalars)
     idx = idx.astype(jnp.int32)
     idx = jnp.maximum(jnp.minimum(idx, np.int32(N - 1)), np.int32(0))
     if Kp != K or Bp != B:
         idx = jnp.pad(idx, ((0, Bp - B), (0, Kp - K)))
-    pads = [(0, Np - N), (0, 0)]
-    if not shared:
-        pads = [(0, Bp - B)] + pads
+    if shared:
+        tbl = jnp.broadcast_to(tbl[None], (Bp, N, F))
+        pads = [(0, 0), (0, Np - N), (0, 0)]
+    else:
+        pads = [(0, Bp - B), (0, Np - N), (0, 0)]
     if any(p != (0, 0) for p in pads):
         tbl = jnp.pad(tbl, pads)
-    tbl = tbl.reshape((H, W * F) if shared else (Bp, H, W * F))
+    # transposed layout [B, W*F, H]: element (n = h*W + w, f) -> (w*F+f, h)
+    tbl = jnp.transpose(tbl.reshape(Bp, H, W, F), (0, 2, 3, 1)).reshape(
+        Bp, W * F, H
+    )
 
-    kern = functools.partial(_gather_kernel, H=H, W=W, F=F, shared=shared)
-    # index-map constants MUST be np.int32: python-int 0 becomes an i64
-    # constant in the Mosaic module under x64 mode and crashes the
-    # compiler
-    Z = np.int32(0)
-    if shared:
-        t_spec = pl.BlockSpec((H, W * F), lambda i, j, s: (Z, Z))
-    else:
-        t_spec = pl.BlockSpec((RB, H, W * F), lambda i, j, s: (i, Z, Z))
+    kern = functools.partial(_gather_kernel, H=H, F=F, KC=KC)
+    Z = np.int32(0)  # index maps need i32 constants under x64
     out = pl.pallas_call(
         kern,
         grid=(Bp // RB, Kp // KC, 4),
-        in_specs=[t_spec, pl.BlockSpec((RB, KC), lambda i, j, s: (i, j))],
+        in_specs=[
+            pl.BlockSpec((RB, W * F, H), lambda i, j, s: (i, Z, Z)),
+            pl.BlockSpec((RB, KC), lambda i, j, s: (i, j)),
+        ],
         out_specs=pl.BlockSpec((F, RB, KC), lambda i, j, s: (Z, i, j)),
         out_shape=jax.ShapeDtypeStruct((F, Bp, Kp), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((RB, KC, W * F), jnp.int32)],
+        scratch_shapes=[
+            pltpu.VMEM((RB, H, KC), jnp.int8),
+            pltpu.VMEM((RB, W * F, KC), jnp.int8),
+        ],
     )(tbl, idx)
     return out[:, :B, :K]
 
@@ -251,7 +219,7 @@ def _from_i32(a, kind):
     return a
 
 
-def row_gather(tbl, idx, force=None, rb=8):
+def row_gather(tbl, idx, force=None):
     """Per-row gather: ``out[b, k(, f)] = tbl[b, idx[b, k](, f)]``.
 
     tbl [B, N] or [B, N, F] in any 32-bit dtype; idx [B, K] integer.
@@ -270,11 +238,11 @@ def row_gather(tbl, idx, force=None, rb=8):
     if squeeze:
         tbl = tbl[:, :, None]
     t32, kind = _to_i32(tbl)
-    out = _from_i32(_gather_i32(t32, idx, shared=False, rb=rb), kind)
+    out = _from_i32(_gather_i32(t32, idx, shared=False), kind)
     return out[0] if squeeze else jnp.moveaxis(out, 0, 2)
 
 
-def shared_gather(tbl, idx, force=None, rb=8):
+def shared_gather(tbl, idx, force=None):
     """Shared-table gather: ``out[b, k(, f)] = tbl[idx[b, k](, f)]``.
 
     tbl [N] or [N, F]; idx [B, K].  Same contract as :func:`row_gather`.
@@ -289,11 +257,11 @@ def shared_gather(tbl, idx, force=None, rb=8):
     if squeeze:
         tbl = tbl[:, None]
     t32, kind = _to_i32(tbl)
-    out = _from_i32(_gather_i32(t32, idx, shared=True, rb=rb), kind)
+    out = _from_i32(_gather_i32(t32, idx, shared=True), kind)
     return out[0] if squeeze else jnp.moveaxis(out, 0, 2)
 
 
-def row_gather_fields(tbl, idx, force=None, rb=8):
+def row_gather_fields(tbl, idx, force=None):
     """Like :func:`row_gather` on [B, N, F] but returns a LIST of F
     [B, K] int32 slices without the [B, K, F] relayout (fields-major is
     the kernel's native output layout)."""
@@ -304,5 +272,5 @@ def row_gather_fields(tbl, idx, force=None, rb=8):
         ix = jnp.clip(idx, 0, tbl.shape[1] - 1)
         g = jnp.take_along_axis(tbl, ix[:, :, None], axis=1)
         return [g[:, :, f] for f in range(tbl.shape[2])]
-    out = _gather_i32(tbl, idx, shared=False, rb=rb)
+    out = _gather_i32(tbl, idx, shared=False)
     return [out[f] for f in range(out.shape[0])]
