@@ -252,3 +252,20 @@ def test_cigar_query_to_refs_and_compare(tmp_path, example_index,
     assert summary["median_err"] is not None
     # seeds cluster near the basecalled alignment
     assert summary["frac_within_100"] > 0.5
+
+
+def test_clientsim_pattern_files(tmp_path):
+    """File-based pattern population (client_sim.cpp:44-208 formats)."""
+    conf = Conf()
+    conf.reads.num_channels = 2
+    (tmp_path / "p_itvs.txt").write_text("1 0 0 5000\n2 0 100 4000\n")
+    (tmp_path / "p_gaps.txt").write_text("1 0 250\n")
+    (tmp_path / "p_delays.txt").write_text("2 0 400\n")
+    (tmp_path / "p_reads.txt").write_text("1 rd_a 0\n2 rd_b 50\n")
+    cs = ClientSim(conf)
+    assert cs.load_pattern_files(str(tmp_path / "p"))
+    assert cs.channels[0].intvs[0].gaps == [250]
+    assert cs.channels[1].intvs[0].delays == [400]
+    # missing file -> False
+    cs2 = ClientSim(conf)
+    assert not cs2.load_pattern_files(str(tmp_path / "missing"))

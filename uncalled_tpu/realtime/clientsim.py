@@ -255,6 +255,46 @@ class ClientSim:
         i = self.channels[ch - 1].reserve_read()
         self.read_locs[read_id] = (ch, i, offs)
 
+    def load_pattern_files(self, prefix: str) -> bool:
+        """Populate the schedule from the reference's file-based pattern
+        format: `<prefix>_itvs.txt` (ch i st en), `_gaps.txt` (ch i len),
+        `_delays.txt` (ch i len), `_reads.txt` (ch read_id offs) —
+        whitespace-separated, one entry per line (client_sim.cpp:44-208).
+        Returns False (with a stderr note) on a missing file, like the
+        reference."""
+        import sys as _sys
+
+        def rows(path, kinds):
+            try:
+                f = open(path)
+            except OSError:
+                _sys.stderr.write(f"Error: failed to open {path}\n")
+                return None
+            with f:
+                out = []
+                toks = f.read().split()
+                n = len(kinds)
+                for at in range(0, len(toks) - n + 1, n):
+                    out.append(tuple(k(t) for k, t in
+                                     zip(kinds, toks[at : at + n])))
+                return out
+
+        itvs = rows(prefix + "_itvs.txt", (int, int, int, int))
+        gaps = rows(prefix + "_gaps.txt", (int, int, int))
+        delays = rows(prefix + "_delays.txt", (int, int, int))
+        reads = rows(prefix + "_reads.txt", (int, str, int))
+        if None in (itvs, gaps, delays, reads):
+            return False
+        for ch, i, st, en in itvs:
+            self.add_intv(ch, i, st, en)
+        for ch, i, ln in gaps:
+            self.add_gap(ch, i, ln)
+        for ch, i, ln in delays:
+            self.add_delay(ch, i, ln)
+        for ch, rd, offs in reads:
+            self.add_read(ch, rd, offs)
+        return True
+
     def load_reads(self, reads):
         """Attach Read objects previously registered via add_read."""
         number = 0
