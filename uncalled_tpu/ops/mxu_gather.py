@@ -49,6 +49,13 @@ import numpy as np
 
 _PLANE_BIAS = np.int32(-0x7F7F7F80)  # 0x80808080 wrapped: sum of (+128 << 8s)
 W = 8  # table positions per contraction row (the narrow sublane dim)
+# Largest table the kernel accepts. Two reasons: (a) the one-hot build
+# materializes an [RB, H, KC] i32 iota in VMEM — at H = N/8 > ~512 even
+# the minimum KC=512 block blows the 16MB scoped-vmem limit; (b) the
+# cost model is ~N MACs per index, so huge tables (the wide remap
+# engine's P=10000 path tables) are better served by XLA's 10.5ns/idx
+# gather anyway.
+N_MXU_MAX = 4096
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -228,7 +235,7 @@ def row_gather(tbl, idx, force=None):
     """
     import jax.numpy as jnp
 
-    use = _use_pallas() if force is None else force
+    use = (_use_pallas() if force is None else force) and tbl.shape[1] <= N_MXU_MAX
     if not use:
         ix = jnp.clip(idx, 0, tbl.shape[1] - 1)
         if tbl.ndim == 3:
@@ -249,7 +256,7 @@ def shared_gather(tbl, idx, force=None):
     """
     import jax.numpy as jnp
 
-    use = _use_pallas() if force is None else force
+    use = (_use_pallas() if force is None else force) and tbl.shape[0] <= N_MXU_MAX
     if not use:
         ix = jnp.clip(idx, 0, tbl.shape[0] - 1)
         return jnp.take(tbl, ix, axis=0)
@@ -267,7 +274,7 @@ def row_gather_fields(tbl, idx, force=None):
     the kernel's native output layout)."""
     import jax.numpy as jnp
 
-    use = _use_pallas() if force is None else force
+    use = (_use_pallas() if force is None else force) and tbl.shape[1] <= N_MXU_MAX
     if not use:
         ix = jnp.clip(idx, 0, tbl.shape[1] - 1)
         g = jnp.take_along_axis(tbl, ix[:, :, None], axis=1)
