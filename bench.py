@@ -127,10 +127,10 @@ def main():
     n_mapped = 0
     n_correct = 0
     n_remapped = [0]
-    _orig_wide = bm._get_wide
+    _orig_next = bm._get_next
 
-    def counting_wide():
-        w = _orig_wide()
+    def counting_next():
+        w = _orig_next()
         if not hasattr(w, "_counted"):
             w._counted = True
             orig_map = w.map_reads
@@ -143,7 +143,7 @@ def main():
             w.map_reads = wrapped
         return w
 
-    bm._get_wide = counting_wide
+    bm._get_next = counting_next
     for paf in bm.map_reads(reads[N_WARM:]):
         if paf.is_mapped:
             n_mapped += 1

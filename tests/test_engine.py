@@ -59,10 +59,9 @@ def test_remap_ladder_restores_parity(
     remap pass must still deliver byte-identical PAF output."""
     conf = Conf()
     conf.engine.batch_reads = 4
-    conf.engine.wide_batch = 4
-    conf.engine.wide_paths = 1024  # proven-parity budget (fast on CPU)
-    conf.engine.wide_seed_rows = 48
-    conf.engine.wide_clusters = 128
+    # two tiny rungs so the chain (narrow -> mid -> final) is exercised;
+    # the final rung's 1024 paths are a proven-parity budget (fast on CPU)
+    conf.engine.remap_ladder = ((64, 4, 8, 16), (1024, 4, 48, 128))
     bm = BatchMapper(
         example_index, pore_model, example_threshes, conf,
         P=32, C=32, R=4, CL=8,
@@ -71,7 +70,7 @@ def test_remap_ladder_restores_parity(
     pafs = list(bm.map_reads(reads))
     assert len(pafs) == len(FAST_SUBSET)
     # the narrow run must actually have overflowed (else the test is vacuous)
-    assert bm._wide_mapper is not None
+    assert bm._next_mapper is not None
     got = {p.rd_name: p.to_line() for p in pafs}
     for rid in FAST_SUBSET:
         assert got[rid] == golden_pafs[rid], rid

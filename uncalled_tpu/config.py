@@ -136,14 +136,17 @@ class EngineParams:
     # throughput matters more than reference byte-parity.
     device_dsp: bool = False
     # remap ladder: reads whose engine run trips ANY fixed budget (path /
-    # candidate / seed-row / cluster capacity) are re-mapped on a wide
-    # engine at the reference's exact max_paths, so the narrow budgets are
-    # a throughput optimization, never a semantics change
+    # candidate / seed-row / cluster capacity) are re-mapped on the next,
+    # wider rung, so narrow budgets are a throughput optimization, never
+    # a semantics change.  Each rung is (paths, batch, seed_rows,
+    # clusters); the LAST rung runs the reference's exact max_paths
+    # budgets (mapper.cpp:83-86) and ignores its own overflow flags (the
+    # reference's own budget cuts apply there).  Honest-bench incidence
+    # (model-mismatched reads, repeat genome): ~60% of reads trip P=1024,
+    # ~16% P=2048, ~0/32 P=4096 -- so the mid rung absorbs nearly all
+    # remap traffic at ~2.5x narrow cost instead of 10x.
     remap_wide: bool = True
-    wide_paths: int = 10000  # = reference mapper.max_paths default
-    wide_batch: int = 4
-    wide_seed_rows: int = 256
-    wide_clusters: int = 1024
+    remap_ladder: tuple = ((4096, 128, 256, 1024), (10000, 32, 256, 1024))
 
 
 @dataclass

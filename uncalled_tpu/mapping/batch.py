@@ -56,7 +56,7 @@ class BatchMapper:
     """Map an iterable of reads, yielding Paf records (order of completion)."""
 
     def __init__(self, fmi, model, threshes, conf: Conf | None = None,
-                 emit_timing: bool = False, _wide: bool = False,
+                 emit_timing: bool = False, _rung: int = 0,
                  engine=None, **over):
         self.conf = conf or Conf()
         self.eng = engine or MapEngine(fmi, model, threshes, self.conf, **over)
@@ -65,21 +65,24 @@ class BatchMapper:
         self.threshes = threshes
         self.T = self.conf.engine.evt_block
         self.emit_timing = emit_timing
-        self._wide = _wide
-        self._wide_mapper = None
+        # position on the remap ladder: rung 0 is the narrow engine;
+        # rungs 1..len(remap_ladder) are built lazily from conf.  The
+        # last rung runs the reference's exact budgets and ignores its
+        # own overflow flags.
+        self._rung = _rung
+        self._next_mapper = None
 
-    def _get_wide(self) -> "BatchMapper":
-        """Wide-parity engine (reference max_paths budgets) for reads whose
-        narrow run tripped a budget; built lazily, cached."""
-        if self._wide_mapper is None:
-            en = self.conf.engine
-            self._wide_mapper = BatchMapper(
+    def _get_next(self) -> "BatchMapper":
+        """Next (wider) ladder rung for reads whose run here tripped a
+        budget; built lazily, cached."""
+        if self._next_mapper is None:
+            P, B, R, CL = self.conf.engine.remap_ladder[self._rung]
+            self._next_mapper = BatchMapper(
                 self.fmi, self.model, self.threshes, self.conf,
-                emit_timing=self.emit_timing, _wide=True,
-                B=en.wide_batch, P=en.wide_paths, C=en.wide_paths,
-                R=en.wide_seed_rows, CL=en.wide_clusters,
+                emit_timing=self.emit_timing, _rung=self._rung + 1,
+                B=B, P=P, C=P, R=R, CL=CL,
             )
-        return self._wide_mapper
+        return self._next_mapper
 
     # ------------------------------------------------------------- events
     def _prepare_wave(self, reads) -> list:
@@ -230,7 +233,10 @@ class BatchMapper:
                 pending += 1
             return self.eng.reset_slots(state, mask)
 
-        remap = self.conf.engine.remap_wide and not self._wide
+        remap = (
+            self.conf.engine.remap_wide
+            and self._rung < len(self.conf.engine.remap_ladder)
+        )
         overflowed = []
 
         state = refill(state)
@@ -260,6 +266,7 @@ class BatchMapper:
             state = refill(state)
 
         if overflowed:
-            # wide remap pass: reads that tripped a narrow budget rerun at
-            # the reference's exact max_paths budgets (mapper.cpp:83-86)
-            yield from self._get_wide().map_reads(overflowed)
+            # remap pass: reads that tripped a budget rerun on the next,
+            # wider rung; the final rung is the reference's exact
+            # max_paths budgets (mapper.cpp:83-86)
+            yield from self._get_next().map_reads(overflowed)

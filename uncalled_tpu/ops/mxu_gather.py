@@ -44,18 +44,27 @@ rows per cycle, so the lookup is re-expressed as matmul.
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 
+# interpret-mode escape so the kernels are testable off-TPU (slow;
+# tests only)
+_INTERPRET = bool(int(os.environ.get("UNCALLED_MXU_INTERPRET", "0")))
+
 _PLANE_BIAS = np.int32(-0x7F7F7F80)  # 0x80808080 wrapped: sum of (+128 << 8s)
 W = 8  # table positions per contraction row (the narrow sublane dim)
-# Largest table the kernel accepts. Two reasons: (a) the one-hot build
+# Largest table the MONOLITHIC kernel accepts: the one-hot build
 # materializes an [RB, H, KC] i32 iota in VMEM — at H = N/8 > ~512 even
-# the minimum KC=512 block blows the 16MB scoped-vmem limit; (b) the
-# cost model is ~N MACs per index, so huge tables (the wide remap
-# engine's P=10000 path tables) are better served by XLA's 10.5ns/idx
-# gather anyway.
+# the minimum KC=512 block blows the 16MB scoped-vmem limit.  Above
+# this, the H-chunked kernel takes over (4th grid axis walks the
+# contraction in HC-row chunks with bounded VMEM); the split keeps the
+# monolithic HLO — and the XLA compile cache for every narrow-engine
+# shape — unchanged.
 N_MXU_MAX = 4096
+# Tables larger than this skip the MXU entirely: ~N MACs/index stops
+# paying against XLA's ~10.5ns/idx gather somewhere past ~100k rows.
+N_MXU_HARD_MAX = 131072
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -144,6 +153,75 @@ def _gather_kernel(t_ref, i_ref, o_ref, oh_ref, mask_ref, *, H, F, KC):
     o_ref[...] += jnp.left_shift(g, s * 8)
 
 
+def _gather_kernel_chunked(t_ref, i_ref, o_ref, oh_ref, mask_ref, *, HC, F, KC):
+    """H-chunked variant for big tables (N > N_MXU_MAX).
+
+    Grid (Bp//RB, Kp//KC, NH, 4): axis 2 walks the contraction dimension
+    in HC-row chunks (bounded VMEM: the one-hot scratch and its i32 iota
+    intermediate are [RB, HC, KC] regardless of N), axis 3 the byte
+    planes.  Indices outside the current chunk produce an all-zero
+    one-hot column, so accumulating the per-chunk dots over axis 2
+    reconstructs the full-table contraction exactly.
+
+    t_ref: [RB, W*F, HC] int32 — chunk c of the transposed table
+    i_ref: [RB, KC] int32 global indices (preclamped to [0, N))
+    o_ref: [F, RB, KC] int32, accumulated across chunk x plane steps
+    oh_ref: [RB, HC, KC] int8 scratch, rebuilt at each new chunk
+    mask_ref: [RB, W*F, KC] int8 scratch, chunk-invariant
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    RB = i_ref.shape[0]
+    c = pl.program_id(2)  # chunk axis
+    s = pl.program_id(3)  # plane axis, innermost
+
+    @pl.when((c == 0) & (s == 0))
+    def _init():
+        idx = i_ref[...]
+        hi = jax.lax.div(idx, np.int32(W))
+        wslot = jax.lax.div(
+            jax.lax.broadcasted_iota(jnp.int32, (RB, W * F, KC), 1),
+            np.int32(F),
+        )
+        mask_ref[...] = (wslot == (idx - hi * W)[:, None, :]).astype(jnp.int8)
+        o_ref[...] = jnp.full(o_ref.shape, _PLANE_BIAS, jnp.int32)
+
+    @pl.when(s == 0)
+    def _build_chunk():
+        hi = jax.lax.div(i_ref[...], np.int32(W)) - c * np.int32(HC)
+        oh_ref[...] = (
+            hi[:, None, :]
+            == jax.lax.broadcasted_iota(jnp.int32, (RB, HC, KC), 1)
+        ).astype(jnp.int8)
+
+    plane = ((jnp.right_shift(t_ref[...], s * 8) & 0xFF) - 128).astype(jnp.int8)
+    rows = jax.lax.dot_general(
+        plane, oh_ref[...], (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32,
+    )  # [RB, W*F, KC]
+    masked = rows * mask_ref[...].astype(jnp.int32)
+    if F == 1:
+        g = jnp.sum(masked, axis=1, dtype=jnp.int32)[None]  # [1, RB, KC]
+    else:
+        collapse = (
+            jax.lax.rem(
+                jax.lax.broadcasted_iota(jnp.int32, (F, W * F), 1),
+                np.int32(F),
+            )
+            == jax.lax.broadcasted_iota(jnp.int32, (F, W * F), 0)
+        ).astype(jnp.bfloat16)
+        g = jax.lax.dot_general(
+            collapse, masked.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)  # [F, RB, KC]
+
+    # the plane bias is baked in once at init; per-chunk contributions
+    # for planes of a miss chunk are all-zero, so plain += is exact
+    o_ref[...] += jnp.left_shift(g, s * 8)
+
+
 def _gather_i32(tbl, idx, shared: bool):
     """Core: tbl [B, N, F] (or [N, F] shared) int32, idx [B, K] int32.
 
@@ -157,8 +235,15 @@ def _gather_i32(tbl, idx, shared: bool):
     B, K = idx.shape
     N, F = tbl.shape[-2:]
 
-    H = _cdiv(N, W)
-    KC = _pick_kc(K, H, F)
+    chunked = N > N_MXU_MAX
+    if chunked:
+        # bounded VMEM: the [RB, HC, KC] i32 iota must stay ~<=4MB
+        KC = min(512, _round_up(K, 512))
+        HC = max(256, 4_000_000 // (8 * KC * 4) // 256 * 256)
+        H = _round_up(_cdiv(N, W), HC)
+    else:
+        H = _cdiv(N, W)
+        KC = _pick_kc(K, H, F)
     RB = 8
     Bp, Kp, Np = _round_up(B, RB), _round_up(K, KC), H * W
 
@@ -179,8 +264,28 @@ def _gather_i32(tbl, idx, shared: bool):
         Bp, W * F, H
     )
 
-    kern = functools.partial(_gather_kernel, H=H, F=F, KC=KC)
     Z = np.int32(0)  # index maps need i32 constants under x64
+    if chunked:
+        kern = functools.partial(_gather_kernel_chunked, HC=HC, F=F, KC=KC)
+        out = pl.pallas_call(
+            kern,
+            grid=(Bp // RB, Kp // KC, H // HC, 4),
+            in_specs=[
+                pl.BlockSpec((RB, W * F, HC), lambda i, j, c, s: (i, Z, c)),
+                pl.BlockSpec((RB, KC), lambda i, j, c, s: (i, j)),
+            ],
+            out_specs=pl.BlockSpec(
+                (F, RB, KC), lambda i, j, c, s: (Z, i, j)
+            ),
+            out_shape=jax.ShapeDtypeStruct((F, Bp, Kp), jnp.int32),
+            scratch_shapes=[
+                pltpu.VMEM((RB, HC, KC), jnp.int8),
+                pltpu.VMEM((RB, W * F, KC), jnp.int8),
+            ],
+            interpret=_INTERPRET,
+        )(tbl, idx)
+        return out[:, :B, :K]
+    kern = functools.partial(_gather_kernel, H=H, F=F, KC=KC)
     out = pl.pallas_call(
         kern,
         grid=(Bp // RB, Kp // KC, 4),
@@ -194,6 +299,7 @@ def _gather_i32(tbl, idx, shared: bool):
             pltpu.VMEM((RB, H, KC), jnp.int8),
             pltpu.VMEM((RB, W * F, KC), jnp.int8),
         ],
+        interpret=_INTERPRET,
     )(tbl, idx)
     return out[:, :B, :K]
 
@@ -235,7 +341,7 @@ def row_gather(tbl, idx, force=None):
     """
     import jax.numpy as jnp
 
-    use = (_use_pallas() if force is None else force) and tbl.shape[1] <= N_MXU_MAX
+    use = (_use_pallas() if force is None else force) and tbl.shape[1] <= N_MXU_HARD_MAX
     if not use:
         ix = jnp.clip(idx, 0, tbl.shape[1] - 1)
         if tbl.ndim == 3:
@@ -256,7 +362,7 @@ def shared_gather(tbl, idx, force=None):
     """
     import jax.numpy as jnp
 
-    use = (_use_pallas() if force is None else force) and tbl.shape[0] <= N_MXU_MAX
+    use = (_use_pallas() if force is None else force) and tbl.shape[0] <= N_MXU_HARD_MAX
     if not use:
         ix = jnp.clip(idx, 0, tbl.shape[0] - 1)
         return jnp.take(tbl, ix, axis=0)
@@ -274,7 +380,7 @@ def row_gather_fields(tbl, idx, force=None):
     the kernel's native output layout)."""
     import jax.numpy as jnp
 
-    use = (_use_pallas() if force is None else force) and tbl.shape[1] <= N_MXU_MAX
+    use = (_use_pallas() if force is None else force) and tbl.shape[1] <= N_MXU_HARD_MAX
     if not use:
         ix = jnp.clip(idx, 0, tbl.shape[1] - 1)
         g = jnp.take_along_axis(tbl, ix[:, :, None], axis=1)
