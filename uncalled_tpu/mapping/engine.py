@@ -251,7 +251,7 @@ def _shard_take(idx, key, rows):
     lo = jax.lax.axis_index(ax).astype(jnp.int32) * np.int32(per)
     local = rows - lo
     ok = (local >= 0) & (local < per)
-    g = jnp.take(tbl, jnp.clip(local, 0, per - 1), axis=0)
+    g = jnp.take(tbl, jnp.clip(local, np.int32(0), np.int32(per - 1)), axis=0)
     m = ok
     while m.ndim < g.ndim:
         m = m[..., None]
@@ -271,14 +271,14 @@ def _occ(idx, k, c):
     is_neg = k < 0
     is_full = k >= n
     kk = jnp.where(k >= primary, k - 1, k)
-    kk = jnp.clip(kk, 0, n - 1)
+    kk = jnp.clip(kk, np.int32(0), np.int32(n - 1))
 
     blk = kk >> 5  # 32 bases per interleaved bucket
     row = _shard_take(idx, "occ_rows", blk)  # [*, 6] bucket row gather
     # pick the base's checkpoint by one-hot sum (4 lanes; a take_along_axis
     # here would pay the per-index gather cost again)
     oh4 = c[..., None] == jnp.arange(4, dtype=i32)
-    base_cnt = jnp.sum(jnp.where(oh4, row[..., :4], 0), axis=-1)
+    base_cnt = jnp.sum(jnp.where(oh4, row[..., :4], 0), axis=-1, dtype=i32)
 
     rem = kk & 31
     pat = (c.astype(u32) * u32(_EVEN)).astype(u32)
@@ -298,7 +298,7 @@ def _occ(idx, k, c):
 
     out = base_cnt + cnt
     l2diff = idx["L2"][1:5] - idx["L2"][0:4]  # per-base totals, [4]
-    full_cnt = jnp.sum(jnp.where(oh4, l2diff, 0), axis=-1)
+    full_cnt = jnp.sum(jnp.where(oh4, l2diff, 0), axis=-1, dtype=i32)
     out = jnp.where(is_full, full_cnt, out)
     out = jnp.where(is_neg, 0, out)
     return out
@@ -310,7 +310,7 @@ def _extend(idx, start, end, base):
     os_ = _occ(idx, start - 1, base)
     oe = _occ(idx, end, base)
     oh4 = base[..., None] == jnp.arange(4, dtype=jnp.int32)
-    L2b = jnp.sum(jnp.where(oh4, idx["L2"][:4], 0), axis=-1)
+    L2b = jnp.sum(jnp.where(oh4, idx["L2"][:4], 0), axis=-1, dtype=jnp.int32)
     return L2b + os_ + 1, L2b + oe
 
 
@@ -334,7 +334,7 @@ def _sa_lookup(idx, rows, intv):
         live = (r % intv) != 0
         # base at bwt index j = r - (r > primary); MSB-first 2-bit packing
         # inside the interleaved bucket words (same layout as _occ)
-        j = jnp.clip(r - (r > primary), 0, None)
+        j = jnp.maximum(r - (r > primary), np.int32(0))
         blk = j >> 5
         row = _shard_take(idx, "occ_rows", blk)
         pos = j & 31
@@ -347,7 +347,7 @@ def _sa_lookup(idx, rows, intv):
             & u32(3)
         ).astype(i32)
         oh4 = base[..., None] == jnp.arange(4, dtype=i32)
-        L2b = jnp.sum(jnp.where(oh4, idx["L2"][:4], 0), axis=-1)
+        L2b = jnp.sum(jnp.where(oh4, idx["L2"][:4], 0), axis=-1, dtype=i32)
         lf = L2b + _occ(idx, r, base)
         lf = jnp.where(r == primary, 0, lf)
         r2 = jnp.where(live, lf, r)
@@ -430,7 +430,7 @@ def _tracker_add(p: EngineParams, st, ref_en, mc, evt, row_ok):
     m3 = jnp.max(jnp.where(t2, e1, NEG), axis=1)
     t3 = t2 & (e1 == m3[:, None])
     any_match = jnp.any(elig, axis=1) & row_ok
-    match_idx = jnp.argmax(t3, axis=1)  # first True
+    match_idx = jnp.argmax(t3, axis=1).astype(i32)  # first True
 
     CL = v.shape[1]
     onehot = (
@@ -448,7 +448,7 @@ def _tracker_add(p: EngineParams, st, ref_en, mc, evt, row_ok):
     new_r2e = jnp.where(onehot & (grows | ~overlaps), r2e[:, None], a_r2e)
     new_e1 = jnp.where(onehot, e2[:, None], e1)
     new_tot = jnp.where(onehot, tot + growth, tot)
-    upd_len = jnp.sum(jnp.where(onehot, growth, 0), axis=1)  # growth of match
+    upd_len = jnp.sum(jnp.where(onehot, growth, 0), axis=1, dtype=i32)  # growth of match
 
     # set-reinsertion collision quirk (oracle.py:168-173): the updated
     # cluster's new key (r2, e2) may equal another live cluster's key; the
@@ -470,12 +470,12 @@ def _tracker_add(p: EngineParams, st, ref_en, mc, evt, row_ok):
     do_insert = row_ok & ~any_match
     free = ~occupied
     evict_key = jnp.where(free, NEG, tot)  # prefer free, else min length
-    ins_idx = jnp.argmin(evict_key, axis=1)
+    ins_idx = jnp.argmin(evict_key, axis=1).astype(i32)
     ins1h = (
         jax.lax.broadcasted_iota(i32, (1, CL), 1) == ins_idx[:, None]
     ) & do_insert[:, None]
-    evicted_len = jnp.sum(jnp.where(ins1h & occupied, tot, 0), axis=1)
-    evicted_n = jnp.sum(jnp.where(ins1h & v, 1, 0), axis=1)
+    evicted_len = jnp.sum(jnp.where(ins1h & occupied, tot, 0), axis=1, dtype=i32)
+    evicted_n = jnp.sum((ins1h & v).astype(i32), axis=1, dtype=i32)
 
     out = dict(st)
     if "ovf" in st:
@@ -499,14 +499,14 @@ def _tracker_add(p: EngineParams, st, ref_en, mc, evt, row_ok):
     )
     out["n_cl"] = (
         st["n_cl"]
-        + jnp.where(do_insert, 1, 0)
+        + do_insert.astype(i32)
         - evicted_n
-        - jnp.where(lost, 1, 0)
+        - lost.astype(i32)
     )
 
     # max_map: replace when a cluster's length changed and exceeds it
     # (reference updates only on total_len change; growth==0 updates skip)
-    cand_len = jnp.where(any_match, jnp.sum(jnp.where(onehot, new_tot, 0), axis=1),
+    cand_len = jnp.where(any_match, jnp.sum(jnp.where(onehot, new_tot, 0), axis=1, dtype=i32),
                          jnp.where(do_insert, mc, NEG))
     changed = jnp.where(any_match, upd_len > 0, do_insert)
     better = changed & (cand_len >= p.min_aln_len) & (cand_len > st["mm_len"])
@@ -515,17 +515,17 @@ def _tracker_add(p: EngineParams, st, ref_en, mc, evt, row_ok):
         "mm_len": cand_len,
         "mm_ref_st": jnp.where(
             any_match,
-            jnp.sum(jnp.where(onehot, out["cl_ref_st"], 0), axis=1), r2),
+            jnp.sum(jnp.where(onehot, out["cl_ref_st"], 0), axis=1, dtype=i32), r2),
         "mm_r1": jnp.where(
-            any_match, jnp.sum(jnp.where(onehot, out["cl_r1"], 0), axis=1), r2),
+            any_match, jnp.sum(jnp.where(onehot, out["cl_r1"], 0), axis=1, dtype=i32), r2),
         "mm_r2e": jnp.where(
-            any_match, jnp.sum(jnp.where(onehot, out["cl_r2e"], 0), axis=1), r2e),
+            any_match, jnp.sum(jnp.where(onehot, out["cl_r2e"], 0), axis=1, dtype=i32), r2e),
         "mm_evt_st": jnp.where(
             any_match,
-            jnp.sum(jnp.where(onehot, out["cl_evt_st"], 0), axis=1), e2),
+            jnp.sum(jnp.where(onehot, out["cl_evt_st"], 0), axis=1, dtype=i32), e2),
         "mm_evt_en": jnp.where(
             any_match,
-            jnp.sum(jnp.where(onehot, out["cl_evt_en"], 0), axis=1), e2),
+            jnp.sum(jnp.where(onehot, out["cl_evt_en"], 0), axis=1, dtype=i32), e2),
     }
     for k2, val in src.items():
         out[k2] = jnp.where(better, val, st[k2])
@@ -629,7 +629,7 @@ def _shared_gather(tbl, idx2d, mxu=False):
         from ..ops.mxu_gather import shared_gather
 
         return shared_gather(tbl, idx2d, force=True)
-    return jnp.take(tbl, jnp.clip(idx2d, 0, tbl.shape[0] - 1), axis=0)
+    return jnp.take(tbl, jnp.clip(idx2d, np.int32(0), np.int32(tbl.shape[0] - 1)), axis=0)
 
 
 def _ring_read(ring, slot):
@@ -752,7 +752,7 @@ def _event_step(idx, p: EngineParams, st, ev, ev_on):
     )
 
     is_mv = move >= 1
-    base = jnp.clip(move - 1, 0, 3)
+    base = jnp.clip(move - 1, np.int32(0), np.int32(3))
     nk = jnp.where(is_mv, ((ck << 2) & KMASK) | base, ck)
     ns_m, ne_m = _extend(idx, cs, ce, base)
     ns = jnp.where(is_mv, ns_m, cs)
@@ -865,7 +865,8 @@ def _event_step(idx, p: EngineParams, st, ev, ev_on):
     # searchsorted(g_cum, r, side="right") == #elements <= r: a compare-
     # count beats the binary search's 12 serial gather rounds on TPU
     grp = jnp.sum(
-        (g_cum[:, :, None] <= row_ids[None, None, :]).astype(i32), axis=1
+        (g_cum[:, :, None] <= row_ids[None, None, :]).astype(i32), axis=1,
+        dtype=i32,
     )  # [B, R]
     grp = jnp.minimum(grp, P + CE - 1)
     row_ok = (row_ids[None, :] < total_rows[:, None]) & alive[:, None]
@@ -876,7 +877,7 @@ def _event_step(idx, p: EngineParams, st, ev, ev_on):
         mxu=p.mxu,
     )
     sa_row = g_st_g + (row_ids[None, :] - g_cum_prev)
-    sa_row = jnp.clip(sa_row, 0, n)
+    sa_row = jnp.clip(sa_row, np.int32(0), np.int32(n))
     if p.sampled_sa:
         ref_en = n - _sa_lookup(idx, sa_row, p.sa_intv)
     else:
@@ -947,7 +948,7 @@ def _event_step(idx, p: EngineParams, st, ev, ev_on):
     # ---- assemble the new path table in the reference's creation order:
     # children (sorted, deduped), head/gap sources interleaved, full sources
     child_keep = svalid & (~dup)
-    n_cands = jnp.sum(svalid.astype(i32), axis=1)
+    n_cands = jnp.sum(svalid.astype(i32), axis=1, dtype=i32)
     # source budget parity: the reference's budget_left() counts ALL sorted
     # candidates (including dups) plus sources created so far against
     # max_paths (mapper.cpp:544-624), so source slots start at n_cands.
@@ -978,7 +979,7 @@ def _event_step(idx, p: EngineParams, st, ev, ev_on):
     src_src, src_ok = _compact_idx(src_concat, P)
     out_j = jnp.arange(P, dtype=i32)[None, :]
     as_child = child_ok
-    k_src = jnp.clip(out_j - n_cands[:, None], 0, P - 1)
+    k_src = jnp.clip(out_j - n_cands[:, None], np.int32(0), np.int32(P - 1))
     src_of, src_hit = _pack_gather([src_src, src_ok], k_src, mxu=p.mxu)
     src_okj = src_hit & (out_j >= n_cands[:, None])
     # child fields in two hops: sorted-order fields by child_src, then
@@ -1007,9 +1008,9 @@ def _event_step(idx, p: EngineParams, st, ev, ev_on):
     np_start = jnp.where(as_child, c_start, jnp.where(src_okj, s_start, 0))
     np_end = jnp.where(as_child, c_end, jnp.where(src_okj, s_end, -1))
     np_kmer = jnp.where(as_child, c_kmer, jnp.where(src_okj, s_kmer, 0))
-    np_total = jnp.where(as_child, c_tot, jnp.where(src_okj, 1, 0))
+    np_total = jnp.where(as_child, c_tot, src_okj.astype(i32))
     np_consec = jnp.where(as_child, c_cons, 0)
-    np_moves = jnp.where(as_child, c_mvs, jnp.where(src_okj, 1, 0))
+    np_moves = jnp.where(as_child, c_mvs, src_okj.astype(i32))
     np_sa = jnp.where(as_child, c_sa, False)
     # cum ring: children copied the parent ring (with the new slot written)
     # in the packed gather above; sources are zeros with slot 1 = prob
@@ -1048,8 +1049,8 @@ def _event_step(idx, p: EngineParams, st, ev, ev_on):
     # budget-overflow detection (conservative): any event where a fixed
     # width cut work the reference's unbounded/10000-path loop would do.
     # No flag => this read's result provably equals the wide engine's.
-    n_src = jnp.sum(src_concat.astype(i32), axis=1)
-    n_flags = jnp.sum(flat.astype(i32), axis=1)
+    n_src = jnp.sum(src_concat.astype(i32), axis=1, dtype=i32)
+    n_flags = jnp.sum(flat.astype(i32), axis=1, dtype=i32)
     ovf_ev = (
         (n_flags > CE)
         | (total_valid_fm > C)
@@ -1068,8 +1069,8 @@ def _event_step(idx, p: EngineParams, st, ev, ev_on):
         "seed_mc": row_mc,
         "seed_evt": row_evt,
         "seed_rows": total_rows,
-        "n_paths": jnp.sum((new_paths["p_total"] > 0).astype(i32), axis=1),
-        "n_cand": jnp.sum(cvalid.astype(i32), axis=1),
+        "n_paths": jnp.sum((new_paths["p_total"] > 0).astype(i32), axis=1, dtype=i32),
+        "n_cand": jnp.sum(cvalid.astype(i32), axis=1, dtype=i32),
         "dec": dec,
         # path-DAG tap for the _paths.tsv dump (mapper.cpp:1016-1078):
         # parent slot id in the PREVIOUS table (P = no parent / source)
@@ -1118,7 +1119,7 @@ def _tracker_decide(p: EngineParams, st):
     NEG = jnp.int32(-(2**30))
     tot = jnp.where(st["cl_count"], st["cl_total"], NEG)
     CL = tot.shape[1]
-    first_i = jnp.argmax(tot, axis=1)
+    first_i = jnp.argmax(tot, axis=1).astype(jnp.int32)
     masked = jnp.where(
         jax.lax.broadcasted_iota(jnp.int32, tot.shape, 1) == first_i[:, None],
         NEG,
@@ -1127,7 +1128,7 @@ def _tracker_decide(p: EngineParams, st):
     second = jnp.max(masked, axis=1)
     top = st["mm_len"].astype(jnp.float32)
     mean = st["len_sum"] / st["n_cl"].astype(jnp.float32)
-    n_lens = jnp.sum(st["cl_count"], axis=1)  # all_lens incl. zombies
+    n_lens = jnp.sum(st["cl_count"], axis=1, dtype=jnp.int32)  # all_lens incl. zombies
     ok = (st["mm_len"] >= p.min_aln_len) & (n_lens >= 2)
     conf = jnp.zeros_like(ok)
     if p.min_mean_conf > 0:
