@@ -27,13 +27,13 @@ sys.path.insert(0, REPO)
 DATA = os.path.join(REPO, "bench_data")
 
 REF_BP = int(os.environ.get("BENCH_REF_BP", 4_700_000))
-N_READS = int(os.environ.get("BENCH_READS", 256))
+N_READS = int(os.environ.get("BENCH_READS", 512))
 N_WARM = int(os.environ.get("BENCH_WARM", 8))
 BATCH = int(os.environ.get("BENCH_BATCH", 256))
 EVT_BLOCK = int(os.environ.get("BENCH_EVT_BLOCK", 32))
 PATHS = int(os.environ.get("BENCH_PATHS", 1024))
-SEED_ROWS = int(os.environ.get("BENCH_SEED_ROWS", 64))
-CLUSTERS = int(os.environ.get("BENCH_CLUSTERS", 512))
+SEED_ROWS = int(os.environ.get("BENCH_SEED_ROWS", 256))
+CLUSTERS = int(os.environ.get("BENCH_CLUSTERS", 1024))
 BASELINE_READS_PER_SEC = 16 / 0.14099  # reference: 16 threads, 140.99 ms/read
 
 
@@ -122,6 +122,19 @@ def main():
     # warmup (includes compile)
     for _ in bm.map_reads(reads[:N_WARM]):
         pass
+    if int(os.environ.get("BENCH_WARM_LADDER", "1")):
+        # pre-compile the mid remap rung so a rare overflowing read does
+        # not drop a cold compile into the timed region (the wide rung is
+        # left cold: reads that deep are rare and its compile is large)
+        mid = bm._get_next()
+        st = mid.eng.fresh_state()
+        st = mid.eng.advance(
+            st,
+            np.zeros((mid.eng.params.B, mid.T), np.float32),
+            np.zeros((mid.eng.params.B, mid.T), bool),
+        )
+        import jax as _jax
+        _jax.block_until_ready(st["evt_i"])
 
     t0 = time.time()
     n_mapped = 0

@@ -142,11 +142,11 @@ class EngineParams:
     # clusters); the LAST rung runs the reference's exact max_paths
     # budgets (mapper.cpp:83-86) and ignores its own overflow flags (the
     # reference's own budget cuts apply there).  Honest-bench incidence
-    # (model-mismatched reads, repeat genome): ~60% of reads trip P=1024,
-    # ~16% P=2048, ~0/32 P=4096 -- so the mid rung absorbs nearly all
-    # remap traffic at ~2.5x narrow cost instead of 10x.
+    # (model-mismatched reads, repeat genome): ~64% of reads trip a
+    # narrow budget at P=1024/R=256/CL=1024 (see ovf_why bitmask in
+    # engine state for the per-budget breakdown used to tune these).
     remap_wide: bool = True
-    remap_ladder: tuple = ((4096, 128, 256, 1024), (10000, 32, 256, 1024))
+    remap_ladder: tuple = ((4096, 128, 512, 2048), (10000, 32, 1024, 4096))
 
 
 @dataclass

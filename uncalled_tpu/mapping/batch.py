@@ -71,6 +71,13 @@ class BatchMapper:
         # own overflow flags.
         self._rung = _rung
         self._next_mapper = None
+        # per-read budget-overflow bitmask recorded at harvest time
+        # (1=CL evict, 2=CE flags, 4=C cands, 8=P paths, 16=R rows);
+        # diagnostics for tuning the remap ladder
+        self.ovf_why: dict = {}
+        # per-read demand maxima (flags, valid, paths, rows) at harvest;
+        # lower bounds for overflowed reads, exact otherwise
+        self.demand: dict = {}
 
     def _get_next(self) -> "BatchMapper":
         """Next (wider) ladder rung for reads whose run here tripped a
@@ -257,6 +264,12 @@ class BatchMapper:
                     continue
                 exhausted = s.fed >= len(s.means)
                 if ro["done"][b] or exhausted:
+                    if ro["ovf"][b]:
+                        self.ovf_why[s.read.id] = int(ro["ovf_why"][b])
+                    self.demand[s.read.id] = (
+                        int(ro["dm_flags"][b]), int(ro["dm_valid"][b]),
+                        int(ro["dm_paths"][b]), int(ro["dm_rows"][b]),
+                    )
                     if remap and ro["ovf"][b]:
                         overflowed.append(s.read)
                     else:

@@ -65,8 +65,8 @@ class EngineParams:
     P: int = 1024  # path budget per read
     C: int = 1024  # candidate budget per event (pre-dedup children)
     CE: int = 0  # candidate extension width (>= C; 0 = auto C + C//4)
-    R: int = 48  # seed SA-row budget per event
-    CL: int = 128  # seed-cluster table capacity
+    R: int = 256  # seed SA-row budget per event
+    CL: int = 1024  # seed-cluster table capacity
     # mapper params (defaults.toml [mapper] via Conf)
     seed_len: int = 22
     min_rep_len: int = 0
@@ -199,6 +199,18 @@ def make_state(p: EngineParams):
         # P, R, CL) cut work the reference would have done; such reads are
         # re-mapped on the wide-parity engine (batch.py remap ladder)
         "ovf": jnp.zeros((B,), bool),
+        # which budget(s) tripped, as a sticky bitmask (diagnostics for
+        # ladder tuning): 1=CL evict, 2=CE flags, 4=C candidates,
+        # 8=P paths, 16=R seed rows
+        "ovf_why": z(B),
+        # sticky per-read demand maxima (what budget WOULD have sufficed,
+        # up to the first cut): flags, fm-valid candidates, next-event
+        # paths, seed rows.  Lower bounds once a cut happened; exact for
+        # non-overflowing reads.  Used to route remaps to the right rung.
+        "dm_flags": z(B),
+        "dm_valid": z(B),
+        "dm_paths": z(B),
+        "dm_rows": z(B),
     }
 
 
@@ -481,7 +493,11 @@ def _tracker_add(p: EngineParams, st, ref_en, mc, evt, row_ok):
     if "ovf" in st:
         # evicting ANY occupant (live or zombie) diverges from the
         # reference's unbounded std::set -> flag for the wide remap
-        out["ovf"] = st["ovf"] | (do_insert & ~jnp.any(free, axis=1))
+        evict = do_insert & ~jnp.any(free, axis=1)
+        out["ovf"] = st["ovf"] | evict
+        out["ovf_why"] = st["ovf_why"] | jnp.where(
+            evict, np.int32(1), np.int32(0)
+        )
     out["cl_valid"] = (v & ~(lost[:, None] & onehot) & ~ins1h) | ins1h
     out["cl_count"] = occupied | ins1h
     out["cl_r1"] = jnp.where(ins1h, r2[:, None], new_r1)
@@ -613,12 +629,15 @@ def _pack_gather(fields, idx2d, rings=(), mxu=False):
 
 
 def _row_gather(tbl, idx2d, mxu=False):
-    """Single-field row gather, MXU-routed when enabled (bit-exact)."""
+    """Row gather ([B, N] or [B, N, F] table), MXU-routed when enabled
+    (bit-exact)."""
     jnp = _jnp()
     if mxu:
         from ..ops.mxu_gather import row_gather
 
         return row_gather(tbl, idx2d, force=True)
+    if tbl.ndim == 3:
+        return jnp.take_along_axis(tbl, idx2d[:, :, None], axis=1)
     return jnp.take_along_axis(tbl, idx2d, axis=1)
 
 
@@ -697,27 +716,43 @@ def _event_step(idx, p: EngineParams, st, ev, ev_on):
     # ---- candidate flags in creation order (stay, then moves A..T) ----
     pv = st["p_total"] > 0
     fmlen = st["p_end"] - st["p_start"] + 1
-    nk4 = ((st["p_kmer"][:, :, None] << 2) & KMASK) | jnp.arange(4, dtype=i32)
-    # one gather for the whole flags stage: probs at the stay + 4 move
-    # kmers AND the per-path fm-bin threshold ride a single per-row table
-    # (threshes appended after the 1024 prob slots)
-    ptbl = jnp.concatenate(
+    # blocked flags gather: a path's 4 move kmers ((k<<2)&KMASK)|{0..3}
+    # are CONSECUTIVE prob slots, so viewing probs as [B, 256, 4] rows
+    # fetches all 4 with ONE index (row k & 255) — and the stay prob is
+    # row k>>2 lane k&3, the fm-bin threshold row bin>>2 lane bin&3 of a
+    # 4-wide threshold block appended after the 256 prob rows.  One F=4
+    # gather of K=3P rows replaces the old K=6P scalar gather: the
+    # one-hot build (~H compares/idx, docs/PERF.md) amortizes 4 ways.
+    NT = idx["threshes"].shape[0]
+    tbl4 = jnp.concatenate(
         [
-            probs,
+            probs.reshape(B, KMER_COUNT // 4, 4),
             jnp.broadcast_to(
-                idx["threshes"][None, :], (B, idx["threshes"].shape[0])
+                idx["threshes"].reshape(NT // 4, 4)[None], (B, NT // 4, 4)
             ),
         ],
         axis=1,
     )
-    allk = jnp.concatenate(
-        [st["p_kmer"], nk4.reshape(B, P * 4), KMER_COUNT + _fm_bin(fmlen)],
+    fm_bin = _fm_bin(fmlen)
+    allk3 = jnp.concatenate(
+        [
+            st["p_kmer"] >> 2,
+            st["p_kmer"] & (KMER_COUNT // 4 - 1),
+            (KMER_COUNT // 4) + (fm_bin >> 2),
+        ],
         axis=1,
     )
-    allp = _row_gather(ptbl, allk, p.mxu)  # [B, 6P]
-    stay_p = allp[:, :P]
-    mv_p = allp[:, P : 5 * P].reshape(B, P, 4)
-    thresh = allp[:, 5 * P :]
+    g3 = _row_gather(tbl4, allk3, p.mxu)  # [B, 3P, 4]
+    lane = lambda g4, j: jnp.sum(
+        jnp.where(
+            jax.lax.broadcasted_iota(i32, g4.shape, 2) == j[:, :, None],
+            g4, f32(0),
+        ),
+        axis=2,
+    )  # exact: exactly one lane selected (NaN payloads pass through)
+    stay_p = lane(g3[:, :P], st["p_kmer"] & 3)
+    mv_p = g3[:, P : 2 * P]
+    thresh = lane(g3[:, 2 * P :], fm_bin & 3)
     stay_f = pv & (st["p_consec"] < p.max_consec_stay) & (stay_p >= thresh)
     # polarity parity: the reference skips a move when prob < thresh
     # (mapper.cpp:489), so a NaN threshold (possible in fitted .uncl files,
@@ -778,19 +813,28 @@ def _event_step(idx, p: EngineParams, st, ev, ev_on):
 
     # ---- ended parents (no children, not yet reported; mapper.cpp:513-519)
     # a child only counts if its FM extension is valid (mapper.cpp:486-510:
-    # invalid ranges are discarded before child_found is set), so scatter the
-    # post-extension validity back to the parents
-    # a parent "has children" iff its id appears among the FM-valid
-    # candidates' parent ids (sort-based membership; scatters serialize)
-    child_any = _member(cpar_g, cvalid, P)
+    # invalid ranges are discarded before child_found is set).  Since
+    # compaction preserves creation order, parent p's candidates occupy
+    # the compacted slot range [pos[5p], pos[5(p+1)]) — so the number of
+    # budget-kept valid children is a difference of the cv_fm exclusive
+    # cumsum (clamped at C) at the block boundaries: no sort-based
+    # membership needed, just two more columns on the vb gather.
     # budget-cut parity: when the candidate budget fills, the reference
     # breaks out of the parent loop entirely (mapper.cpp:455-520), so
     # parents not yet reached never run their ended-seed check. A parent is
     # reached iff fewer than C *valid* candidates were appended before its
     # first slot (valid count at its compacted flag position).
     k_i = pos[:, ::5]  # compacted position of each parent's stay slot
+    n_flags = pos[:, -1] + flat[:, -1].astype(i32)  # total flags this event
+    k_next = jnp.concatenate([k_i[:, 1:], n_flags[:, None]], axis=1)
     vpos_pad = jnp.concatenate([vpos, total_valid_fm[:, None]], axis=1)
-    vb = _row_gather(vpos_pad, jnp.minimum(k_i, CE), p.mxu)
+    vb2 = _row_gather(
+        vpos_pad,
+        jnp.minimum(jnp.concatenate([k_i, k_next], axis=1), CE),
+        p.mxu,
+    )
+    vb, vb_next = vb2[:, :P], vb2[:, P:]
+    child_any = jnp.minimum(vb_next, C) > jnp.minimum(vb, C)
     reached = (k_i < CE) & (vb < C)
     pmc = jax.lax.population_count(st["p_moves"]).astype(i32)
     pseedprob = _path_seedprob(p, st)
@@ -894,7 +938,7 @@ def _event_step(idx, p: EngineParams, st, ev, ev_on):
             "cl_valid", "cl_count", "cl_ref_st", "cl_r1", "cl_r2e",
             "cl_evt_st", "cl_evt_en", "cl_total", "len_sum", "n_cl",
             "mm_len", "mm_ref_st", "mm_r1", "mm_r2e", "mm_evt_st", "mm_evt_en",
-            "ovf",
+            "ovf", "ovf_why",
         )
     }
     max_rows = jnp.minimum(jnp.max(jnp.where(alive, total_rows, 0)), R)
@@ -1058,6 +1102,18 @@ def _event_step(idx, p: EngineParams, st, ev, ev_on):
         | (total_rows > R)
     )
     out["ovf"] = out["ovf"] | (ovf_ev & alive)
+    why = (
+        jnp.where(n_flags > CE, np.int32(2), np.int32(0))
+        | jnp.where(total_valid_fm > C, np.int32(4), np.int32(0))
+        | jnp.where((n_cands + n_src) > P, np.int32(8), np.int32(0))
+        | jnp.where(total_rows > R, np.int32(16), np.int32(0))
+    )
+    out["ovf_why"] = out["ovf_why"] | jnp.where(alive, why, np.int32(0))
+    upd = lambda cur, v: jnp.maximum(cur, jnp.where(alive, v, np.int32(0)))
+    out["dm_flags"] = upd(st["dm_flags"], n_flags)
+    out["dm_valid"] = upd(st["dm_valid"], total_valid_fm)
+    out["dm_paths"] = upd(st["dm_paths"], n_cands + n_src)
+    out["dm_rows"] = upd(st["dm_rows"], total_rows)
 
     dec = _tracker_decide(p, out) & alive
     out["done"] = st["done"] | dec
@@ -1209,7 +1265,8 @@ class MapEngine:
         import jax
 
         keys = (
-            "done", "success", "dec_evt", "evt_i", "ovf",
+            "done", "success", "dec_evt", "evt_i", "ovf", "ovf_why",
+            "dm_flags", "dm_valid", "dm_paths", "dm_rows",
             "mm_len", "mm_ref_st", "mm_r1", "mm_r2e", "mm_evt_st", "mm_evt_en",
         )
         vals = jax.device_get([state[k] for k in keys])

@@ -62,9 +62,10 @@ W = 8  # table positions per contraction row (the narrow sublane dim)
 # monolithic HLO — and the XLA compile cache for every narrow-engine
 # shape — unchanged.
 N_MXU_MAX = 4096
-# Tables larger than this skip the MXU entirely: ~N MACs/index stops
-# paying against XLA's ~10.5ns/idx gather somewhere past ~100k rows.
-N_MXU_HARD_MAX = 131072
+# Tables larger than this skip the MXU entirely: the one-hot build's
+# ~H compares/idx crosses XLA's ~10.5ns/idx gather at N ~ 8-9k
+# (measured on v5e: 15 ns/idx at N=12800 chunked vs 10.5 XLA).
+N_MXU_HARD_MAX = 8192
 
 
 def _cdiv(a: int, b: int) -> int:
