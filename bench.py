@@ -31,7 +31,14 @@ N_READS = int(os.environ.get("BENCH_READS", 512))
 N_WARM = int(os.environ.get("BENCH_WARM", 8))
 BATCH = int(os.environ.get("BENCH_BATCH", 256))
 EVT_BLOCK = int(os.environ.get("BENCH_EVT_BLOCK", 32))
-PATHS = int(os.environ.get("BENCH_PATHS", 1024))
+# Narrow-rung budgets sized from the measured demand distribution (64
+# honest reads through the reference-budget oracle): P=2048 covers ~93%
+# of reads' peak live paths, CE=4096 ~95% of peak flag bursts; the rest
+# remap up the ladder.  Undersizing P is catastrophic, not just for
+# remap traffic: a read that loses the true path at a budget cut stops
+# deciding and burns its full event stream (~16x the events).
+PATHS = int(os.environ.get("BENCH_PATHS", 2048))
+CAND_EXT = int(os.environ.get("BENCH_CE", 4096))
 SEED_ROWS = int(os.environ.get("BENCH_SEED_ROWS", 256))
 CLUSTERS = int(os.environ.get("BENCH_CLUSTERS", 1024))
 BASELINE_READS_PER_SEC = 16 / 0.14099  # reference: 16 threads, 140.99 ms/read
@@ -116,7 +123,7 @@ def main():
     conf.engine.remap_wide = bool(int(os.environ.get("BENCH_REMAP", "1")))
     bm = BatchMapper(
         fmi, load_default(), load_uncl(prefix + ".uncl"), conf,
-        P=PATHS, C=PATHS, R=SEED_ROWS, CL=CLUSTERS,
+        P=PATHS, C=PATHS, CE=CAND_EXT, R=SEED_ROWS, CL=CLUSTERS,
     )
 
     # warmup (includes compile)
@@ -186,7 +193,7 @@ def main():
         conf2.engine.remap_wide = conf.engine.remap_wide
         bm2 = BatchMapper(
             fmi, load_default(), load_uncl(prefix + ".uncl"), conf2,
-            P=PATHS, C=PATHS, R=SEED_ROWS, CL=CLUSTERS,
+            P=PATHS, C=PATHS, CE=CAND_EXT, R=SEED_ROWS, CL=CLUSTERS,
         )
         for paf in bm2.map_reads(reads[N_WARM:]):
             ours[paf.rd_name] = paf.to_line()

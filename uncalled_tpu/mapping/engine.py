@@ -981,8 +981,16 @@ def _event_step(idx, p: EngineParams, st, ev, ev_on):
     gap_en = jnp.where(nxt_same, nxt(ns_s, 0) - 1, km_en)
     gap_v = svalid & (~dup) & kpass & (gap_st <= gap_en)
 
-    # presence of a k-mer among candidates (sort-based membership)
-    present = _member(nk_s, svalid, KMER_COUNT)
+    # presence of a k-mer among candidates: the sorted set {nk_s[svalid]}
+    # equals the unsorted {nk[cvalid]}, so a broadcast-compare any-reduce
+    # (XLA fuses it; no materialized [B, CE, 1024]) replaces the old
+    # two-sort _member and has no dependency on the sort (better ILP)
+    present = jnp.any(
+        (nk[:, :, None]
+         == jax.lax.broadcasted_iota(i32, (1, 1, KMER_COUNT), 2))
+        & cvalid[:, :, None],
+        axis=1,
+    )
     full_v = (
         (~present)
         & (probs >= source_prob)
