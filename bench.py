@@ -31,14 +31,15 @@ N_READS = int(os.environ.get("BENCH_READS", 512))
 N_WARM = int(os.environ.get("BENCH_WARM", 8))
 BATCH = int(os.environ.get("BENCH_BATCH", 256))
 EVT_BLOCK = int(os.environ.get("BENCH_EVT_BLOCK", 32))
-# Narrow-rung budgets sized from the measured demand distribution (64
-# honest reads through the reference-budget oracle): P=2048 covers ~93%
-# of reads' peak live paths, CE=4096 ~95% of peak flag bursts; the rest
-# remap up the ladder.  Undersizing P is catastrophic, not just for
-# remap traffic: a read that loses the true path at a budget cut stops
-# deciding and burns its full event stream (~16x the events).
-PATHS = int(os.environ.get("BENCH_PATHS", 2048))
-CAND_EXT = int(os.environ.get("BENCH_CE", 4096))
+# Narrow-rung economics (measured demand distribution, 64 honest reads
+# through the reference-budget oracle): ~55% of reads burst past P=1024,
+# but with EARLY EJECTION (batch.py: an overflow frees the slot
+# immediately instead of burning the full event stream) the narrow rung
+# stays the cheapest place to run the other 45%, and the demand-routed
+# ladder (P=2048 -> 4096 -> 10000) absorbs ejections at each rung's
+# measured coverage (~92% / ~99% / all).
+PATHS = int(os.environ.get("BENCH_PATHS", 1024))
+CAND_EXT = int(os.environ.get("BENCH_CE", 0))
 SEED_ROWS = int(os.environ.get("BENCH_SEED_ROWS", 256))
 CLUSTERS = int(os.environ.get("BENCH_CLUSTERS", 1024))
 BASELINE_READS_PER_SEC = 16 / 0.14099  # reference: 16 threads, 140.99 ms/read
@@ -129,16 +130,19 @@ def main():
     # warmup (includes compile)
     for _ in bm.map_reads(reads[:N_WARM]):
         pass
-    if int(os.environ.get("BENCH_WARM_LADDER", "1")):
-        # pre-compile the mid remap rung so a rare overflowing read does
-        # not drop a cold compile into the timed region (the wide rung is
-        # left cold: reads that deep are rare and its compile is large)
-        mid = bm._get_next()
-        st = mid.eng.fresh_state()
-        st = mid.eng.advance(
+    n_warm_rungs = int(os.environ.get("BENCH_WARM_LADDER", "2"))
+    # pre-compile the first N remap rungs so an overflowing read does not
+    # drop a cold compile into the timed region (compiles persist in the
+    # XLA cache, so this is one-time per machine); the deepest rung stays
+    # cold — reads that deep are vanishingly rare
+    m = bm
+    for _ in range(n_warm_rungs):
+        m = m._get_next()
+        st = m.eng.fresh_state()
+        st = m.eng.advance(
             st,
-            np.zeros((mid.eng.params.B, mid.T), np.float32),
-            np.zeros((mid.eng.params.B, mid.T), bool),
+            np.zeros((m.eng.params.B, m.T), np.float32),
+            np.zeros((m.eng.params.B, m.T), bool),
         )
         import jax as _jax
         _jax.block_until_ready(st["evt_i"])
@@ -146,24 +150,6 @@ def main():
     t0 = time.time()
     n_mapped = 0
     n_correct = 0
-    n_remapped = [0]
-    _orig_next = bm._get_next
-
-    def counting_next():
-        w = _orig_next()
-        if not hasattr(w, "_counted"):
-            w._counted = True
-            orig_map = w.map_reads
-
-            def wrapped(rs):
-                rs = list(rs)
-                n_remapped[0] += len(rs)
-                return orig_map(rs)
-
-            w.map_reads = wrapped
-        return w
-
-    bm._get_next = counting_next
     for paf in bm.map_reads(reads[N_WARM:]):
         if paf.is_mapped:
             n_mapped += 1
@@ -176,6 +162,12 @@ def main():
                 n_correct += 1
     dt = time.time() - t0
     reads_per_sec = N_READS / dt
+    # per-rung ejection counts (rung i's ovf_why dict records its ejects)
+    rungs = []
+    m = bm
+    while m is not None:
+        rungs.append(len(m.ovf_why))
+        m = m._next_mapper
 
     # optional accuracy gate vs the unmodified reference binary on the
     # SAME reads/index (BENCH_RIG=1): fraction of PAF lines that match
@@ -231,7 +223,8 @@ def main():
                     "wall_s": round(dt, 2),
                     "batch": BATCH,
                     "paths": PATHS,
-                    "remapped": n_remapped[0],
+                    "remapped": rungs[0] if rungs else 0,
+                    "rung_ejects": rungs,
                     **({"rig_agree": rig_agree} if rig_agree is not None else {}),
                 },
             }

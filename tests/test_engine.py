@@ -61,7 +61,7 @@ def test_remap_ladder_restores_parity(
     conf.engine.batch_reads = 4
     # two tiny rungs so the chain (narrow -> mid -> final) is exercised;
     # the final rung's 1024 paths are a proven-parity budget (fast on CPU)
-    conf.engine.remap_ladder = ((64, 4, 8, 16), (1024, 4, 48, 128))
+    conf.engine.remap_ladder = ((64, 4, 8, 16, 0), (1024, 4, 48, 128, 0))
     bm = BatchMapper(
         example_index, pore_model, example_threshes, conf,
         P=32, C=32, R=4, CL=8,

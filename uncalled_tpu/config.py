@@ -136,17 +136,25 @@ class EngineParams:
     # throughput matters more than reference byte-parity.
     device_dsp: bool = False
     # remap ladder: reads whose engine run trips ANY fixed budget (path /
-    # candidate / seed-row / cluster capacity) are re-mapped on the next,
-    # wider rung, so narrow budgets are a throughput optimization, never
-    # a semantics change.  Each rung is (paths, batch, seed_rows,
-    # clusters); the LAST rung runs the reference's exact max_paths
-    # budgets (mapper.cpp:83-86) and ignores its own overflow flags (the
-    # reference's own budget cuts apply there).  Honest-bench incidence
-    # (model-mismatched reads, repeat genome): ~64% of reads trip a
-    # narrow budget at P=1024/R=256/CL=1024 (see ovf_why bitmask in
-    # engine state for the per-budget breakdown used to tune these).
+    # candidate / seed-row / cluster capacity) are EJECTED EARLY and
+    # re-mapped on a wider rung, so narrow budgets are a throughput
+    # optimization, never a semantics change.  Each rung is (paths,
+    # batch, seed_rows, clusters, cand_ext; cand_ext 0 = auto); the LAST
+    # rung runs the reference's exact max_paths budgets (mapper.cpp:83-86)
+    # and ignores its own overflow flags (the reference's own budget cuts
+    # apply there).  Rung sizing comes from the measured demand
+    # distribution on honest reads (model-mismatched, repeat genome):
+    # peak-live-path demand p50=1082 p90=1856 p99~3000 max~3400, flag
+    # bursts p90=2635 p95=3560 — so P=2048/CE=4096 absorbs ~92% of the
+    # P=1024 narrow rung's ejections and P=4096 nearly all the rest.
+    # Reads route to the first rung covering their observed demand
+    # (batch.py _rung_fits), skipping provably-too-small rungs.
     remap_wide: bool = True
-    remap_ladder: tuple = ((4096, 128, 512, 2048), (10000, 32, 1024, 4096))
+    remap_ladder: tuple = (
+        (2048, 128, 512, 2048, 4096),
+        (4096, 64, 512, 2048, 5120),
+        (10000, 32, 1024, 4096, 0),
+    )
 
 
 @dataclass

@@ -83,13 +83,34 @@ class BatchMapper:
         """Next (wider) ladder rung for reads whose run here tripped a
         budget; built lazily, cached."""
         if self._next_mapper is None:
-            P, B, R, CL = self.conf.engine.remap_ladder[self._rung]
+            P, B, R, CL, CE = self.conf.engine.remap_ladder[self._rung]
             self._next_mapper = BatchMapper(
                 self.fmi, self.model, self.threshes, self.conf,
                 emit_timing=self.emit_timing, _rung=self._rung + 1,
-                B=B, P=P, C=P, R=R, CL=CL,
+                B=B, P=P, C=P, R=R, CL=CL, CE=CE,
             )
         return self._next_mapper
+
+    def _rung_fits(self, rung_i: int, why: int, dm) -> bool:
+        """Could ladder rung ``rung_i`` hold a read whose overflow
+        bitmask/demand lower bounds are (why, dm)?  Demand maxima are
+        exact until the first budget cut, so a rung whose budgets don't
+        even cover the OBSERVED demand is a guaranteed re-overflow —
+        skip it (the last rung always fits: its own budgets are the
+        reference's)."""
+        ladder = self.conf.engine.remap_ladder
+        if rung_i >= len(ladder):
+            return True
+        P, _, R, CL, CE = ladder[rung_i]
+        CE = CE if CE else P + max(P // 4, 256)
+        fl, va, pa, rw = dm
+        if fl > CE or va > P or pa > P or rw > R:
+            return False
+        # a cluster-table eviction (bit 1) gives no demand lower bound;
+        # require strictly more cluster capacity than the tripped rung
+        if (why & 1) and CL <= self.eng.params.CL:
+            return False
+        return True
 
     # ------------------------------------------------------------- events
     def _prepare_wave(self, reads) -> list:
@@ -263,23 +284,46 @@ class BatchMapper:
                 if s is None:
                     continue
                 exhausted = s.fed >= len(s.means)
-                if ro["done"][b] or exhausted:
+                # EARLY EJECT: once the sticky overflow flag is set this
+                # rung's result will be discarded in favor of a wider
+                # remap, so free the slot now instead of letting the
+                # (possibly path-lost) read burn its whole event stream
+                if remap and ro["ovf"][b]:
+                    self.ovf_why[s.read.id] = int(ro["ovf_why"][b])
+                    self.demand[s.read.id] = dm = (
+                        int(ro["dm_flags"][b]), int(ro["dm_valid"][b]),
+                        int(ro["dm_paths"][b]), int(ro["dm_rows"][b]),
+                    )
+                    overflowed.append((s.read, int(ro["ovf_why"][b]), dm))
+                    slots[b] = None
+                    pending -= 1
+                elif ro["done"][b] or exhausted:
                     if ro["ovf"][b]:
                         self.ovf_why[s.read.id] = int(ro["ovf_why"][b])
                     self.demand[s.read.id] = (
                         int(ro["dm_flags"][b]), int(ro["dm_valid"][b]),
                         int(ro["dm_paths"][b]), int(ro["dm_rows"][b]),
                     )
-                    if remap and ro["ovf"][b]:
-                        overflowed.append(s.read)
-                    else:
-                        yield self._finalize(s, ro, b)
+                    yield self._finalize(s, ro, b)
                     slots[b] = None
                     pending -= 1
             state = refill(state)
 
         if overflowed:
-            # remap pass: reads that tripped a budget rerun on the next,
-            # wider rung; the final rung is the reference's exact
-            # max_paths budgets (mapper.cpp:83-86)
-            yield from self._get_next().map_reads(overflowed)
+            # remap pass: reads that tripped a budget rerun on a wider
+            # rung; the final rung is the reference's exact max_paths
+            # budgets (mapper.cpp:83-86).  Demand-routed: each read goes
+            # to the FIRST rung whose budgets cover its observed demand
+            # lower bounds (skipping rungs that would provably re-trip).
+            ladder = self.conf.engine.remap_ladder
+            groups: dict = {}
+            for read, why, dm in overflowed:
+                j = self._rung
+                while not self._rung_fits(j, why, dm):
+                    j += 1
+                groups.setdefault(min(j, len(ladder) - 1), []).append(read)
+            for j in sorted(groups):
+                m = self
+                while m._rung <= j:
+                    m = m._get_next()
+                yield from m.map_reads(groups[j])
