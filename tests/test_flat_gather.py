@@ -1,0 +1,60 @@
+"""Two-level MXU flat gather: bit-exactness in interpret mode on CPU."""
+
+import os
+
+import numpy as np
+import pytest
+
+os.environ["UNCALLED_MXU_INTERPRET"] = "1"
+
+
+@pytest.mark.parametrize(
+    "n,f,k",
+    [(1024, 1, 700), (65536, 4, 2048), (9216, 2, 513), (300, 1, 64)],
+)
+def test_flat_gather_exact(n, f, k):
+    import jax.numpy as jnp
+
+    from uncalled_tpu.ops import flat_gather as FG
+
+    rng = np.random.default_rng(n + f + k)
+    tbl = rng.integers(-(2**31), 2**31, (n, f), dtype=np.int64).astype(np.int32)
+    idx = rng.integers(0, n, (k,)).astype(np.int32)
+    out = np.asarray(FG.flat_gather(jnp.asarray(tbl), jnp.asarray(idx), force=True))
+    exp = tbl[idx]
+    if f == 1:
+        # 1D table squeezes
+        out1 = np.asarray(
+            FG.flat_gather(jnp.asarray(tbl[:, 0]), jnp.asarray(idx), force=True)
+        )
+        assert np.array_equal(out1, tbl[idx, 0])
+    assert np.array_equal(out, exp)
+
+
+def test_flat_gather_f32_nan_and_clamp():
+    import jax.numpy as jnp
+
+    from uncalled_tpu.ops import flat_gather as FG
+
+    rng = np.random.default_rng(5)
+    tbl = rng.standard_normal((4096,)).astype(np.float32)
+    tbl[rng.random(4096) < 0.02] = np.nan
+    idx = rng.integers(-5, 4200, (900,)).astype(np.int32)  # out of range both ways
+    out = np.asarray(FG.flat_gather(jnp.asarray(tbl), jnp.asarray(idx), force=True))
+    exp = tbl[np.clip(idx, 0, 4095)]
+    assert np.array_equal(out.view(np.int32), exp.view(np.int32))
+
+
+def test_flat_gather_fields_and_shapes():
+    import jax.numpy as jnp
+
+    from uncalled_tpu.ops import flat_gather as FG
+
+    rng = np.random.default_rng(9)
+    tbl = rng.integers(0, 1000, (2048, 3)).astype(np.int32)
+    idx = rng.integers(0, 2048, (16, 33)).astype(np.int32)  # 2D idx
+    cols = FG.flat_gather_fields(jnp.asarray(tbl), jnp.asarray(idx), force=True)
+    assert len(cols) == 3
+    for f, c in enumerate(cols):
+        assert c.shape == (16, 33)
+        assert np.array_equal(np.asarray(c), tbl[idx, f])
