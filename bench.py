@@ -122,6 +122,13 @@ def main():
     conf.engine.batch_reads = BATCH
     conf.engine.evt_block = EVT_BLOCK
     conf.engine.remap_wide = bool(int(os.environ.get("BENCH_REMAP", "1")))
+    # pooled engine (mapping/pooled.py): flat cross-batch path pool at
+    # the reference's own per-read budget; the ladder only backstops
+    # physical pool exhaustion
+    conf.engine.pooled = bool(int(os.environ.get("BENCH_POOLED", "0")))
+    conf.engine.pool_slots_per_read = int(
+        os.environ.get("BENCH_POOL_SLOTS", 384)
+    )
     bm = BatchMapper(
         fmi, load_default(), load_uncl(prefix + ".uncl"), conf,
         P=PATHS, C=PATHS, CE=CAND_EXT, R=SEED_ROWS, CL=CLUSTERS,
@@ -130,7 +137,9 @@ def main():
     # warmup (includes compile)
     for _ in bm.map_reads(reads[:N_WARM]):
         pass
-    n_warm_rungs = int(os.environ.get("BENCH_WARM_LADDER", "2"))
+    n_warm_rungs = int(
+        os.environ.get("BENCH_WARM_LADDER", "0" if conf.engine.pooled else "2")
+    )
     # pre-compile the first N remap rungs so an overflowing read does not
     # drop a cold compile into the timed region (compiles persist in the
     # XLA cache, so this is one-time per machine); the deepest rung stays

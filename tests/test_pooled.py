@@ -1,0 +1,68 @@
+"""Pooled (flat cross-batch pool) engine vs reference golden PAFs.
+
+Same bar as the per-read engine: byte-identical PAF output to the
+reference binary on the golden read set, through the real BatchMapper
+host loop (slot refill, early-eject plumbing, finalize)."""
+
+import numpy as np
+import pytest
+
+from uncalled_tpu.config import Conf
+from uncalled_tpu.mapping.batch import BatchMapper
+
+
+@pytest.fixture(scope="module")
+def pmap(example_index, example_threshes, pore_model):
+    conf = Conf()
+    conf.engine.batch_reads = 4
+    conf.engine.pooled = True
+    conf.engine.pool_slots_per_read = 512
+    return BatchMapper(example_index, pore_model, example_threshes, conf)
+
+
+def run(pmap, make_read, golden_reads, golden_pafs, rids):
+    reads = [make_read(r, golden_reads[r]) for r in rids]
+    got = {p.rd_name: p.to_line() for p in pmap.map_reads(reads)}
+    for rid in rids:
+        assert got[rid] == golden_pafs[rid], rid
+
+
+def test_pooled_paf_identical_all(pmap, make_read, golden_reads, golden_pafs):
+    from uncalled_tpu.mapping.pooled import PooledEngine
+
+    assert isinstance(pmap.eng, PooledEngine)
+    run(pmap, make_read, golden_reads, golden_pafs, list(golden_pafs))
+    # the pooled per-read budget is the reference's: nothing may overflow
+    assert pmap.ovf_why == {}
+
+
+def test_pooled_slots_recycle(pmap, make_read, golden_reads, golden_pafs):
+    """More reads than slots: pool segments must not leak across refills."""
+    rids = [
+        "sim_0002_Escherichia_coli_6254_+",
+        "sim_0005_Escherichia_coli_3483_+",
+        "sim_0008_Escherichia_coli_1891_+",
+        "sim_0009_Escherichia_coli_2589_+",
+        "sim_0010_Escherichia_coli_4033_+",  # 5 reads through 4 slots
+    ]
+    run(pmap, make_read, golden_reads, golden_pafs, rids)
+
+
+def test_pooled_pool_exhaustion_flags_and_ladder(
+    example_index, example_threshes, pore_model, make_read, golden_reads,
+    golden_pafs,
+):
+    """A pool too small for the read must set the overflow flag and the
+    remap ladder (classic wide engine) must restore byte parity."""
+    conf = Conf()
+    conf.engine.batch_reads = 2
+    conf.engine.pooled = True
+    conf.engine.remap_ladder = ((1024, 2, 128, 256, 0),)
+    rid = "sim_0000_Escherichia_coli_3854_+"
+    reads = [make_read(rid, golden_reads[rid])]
+    bm = BatchMapper(
+        example_index, pore_model, example_threshes, conf, S=128, SC=160,
+    )
+    got = {p.rd_name: p.to_line() for p in bm.map_reads(reads)}
+    assert bm.ovf_why, "tiny pool must overflow"
+    assert got[rid] == golden_pafs[rid]

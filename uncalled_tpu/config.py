@@ -135,6 +135,13 @@ class EngineParams:
     # detector in the last ulps -> NOT byte-PAF-exact; opt in when
     # throughput matters more than reference byte-parity.
     device_dsp: bool = False
+    # pooled engine (mapping/pooled.py): one flat path pool for the whole
+    # batch instead of per-read [B, P] budgets — per-event cost tracks
+    # ACTUAL live paths and the per-read budget is the reference's own
+    # max_paths, so the remap ladder only backstops physical pool
+    # exhaustion.  pool_slots_per_read sizes the pool (S = B * this).
+    pooled: bool = False
+    pool_slots_per_read: int = 384
     # remap ladder: reads whose engine run trips ANY fixed budget (path /
     # candidate / seed-row / cluster capacity) are EJECTED EARLY and
     # re-mapped on a wider rung, so narrow budgets are a throughput

@@ -59,7 +59,19 @@ class BatchMapper:
                  emit_timing: bool = False, _rung: int = 0,
                  engine=None, **over):
         self.conf = conf or Conf()
-        self.eng = engine or MapEngine(fmi, model, threshes, self.conf, **over)
+        if engine is None:
+            if self.conf.engine.pooled and _rung == 0:
+                from .pooled import PooledEngine
+
+                # drop classic per-read budget knobs the pool doesn't have
+                pover = {
+                    k: v for k, v in over.items()
+                    if k not in ("P", "C", "CE", "R")
+                }
+                engine = PooledEngine(fmi, model, threshes, self.conf, **pover)
+            else:
+                engine = MapEngine(fmi, model, threshes, self.conf, **over)
+        self.eng = engine
         self.fmi = fmi
         self.model = model
         self.threshes = threshes

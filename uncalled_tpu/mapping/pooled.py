@@ -1,0 +1,931 @@
+"""Pooled device mapping engine: one flat path pool for the whole batch.
+
+The per-read engine (engine.py) sizes every array to a per-read budget
+P, so each event step pays B x P work while the MEAN live path count on
+real reads is ~300 (measured: p50=1082 peak but ~319 mean, PERF.md) —
+and a too-small P silently loses the true path, so the remap ladder
+rungs multiply the cost again.  This engine instead keeps ALL reads'
+paths in one flat structure-of-arrays pool of S slots:
+
+  * pool slots are sorted by (owner read, creation order); a read's
+    paths are a contiguous segment, located via the per-read path
+    counts carried in state — every "per read" quantity becomes a
+    boundary gather on a global exclusive cumsum,
+  * per-path work (flags, FM extension, scoring) is elementwise or
+    gathered over [S]/[SC] flat arrays via the two-level MXU one-hot
+    kernel (ops/flat_gather.py), so cost tracks ACTUAL live paths,
+  * the per-read budget is the reference's own max_paths (10000,
+    mapper.cpp:83-86) enforced by within-read position — budget parity
+    BY CONSTRUCTION, no remap ladder; only physical pool exhaustion
+    (burst > S across the whole batch) sets the overflow flag, and
+    those rare reads fall back to the classic wide engine.
+
+Semantics are the reference mapper's event loop (mapper.cpp:433-663)
+exactly as re-derived in engine.py — candidate flags in creation order,
+FM-valid budget counting, sorted dedup, head/gap/full source creation,
+ended-parent seed checks with budget-break parity, the SeedTracker
+cluster table — and the tracker/decision stages reuse engine.py's
+[B, CL] implementations unchanged.  Golden-PAF parity is the test bar.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..config import Conf
+from ..kmer import KMER_COUNT
+from .engine import (
+    INT32_MAX,
+    _extend,
+    _fm_bin,
+    _jnp,
+    _match_probs,
+    _ring_read,
+    _sa_lookup,
+    _shard_take,
+    _tracker_add,
+    _tracker_decide,
+    device_index,
+)
+
+
+@dataclass(frozen=True)
+class PoolParams:
+    """Static parameters of the pooled engine."""
+
+    B: int = 256  # read slots
+    S: int = 98304  # path pool slots (whole batch)
+    SC: int = 131072  # candidate pool slots per event
+    FS: int = 256  # full-range sources kept per read per event
+    RE: int = 1024  # seed-group entries per event (whole batch)
+    RT: int = 2048  # expanded seed rows per event (whole batch)
+    R: int = 128  # seed rows per read per event ([B, R] tracker feed)
+    CL: int = 1024  # seed-cluster table capacity per read
+    PC: int = 10000  # per-read path budget (the reference's max_paths)
+    # mapper / tracker params (identical to EngineParams)
+    seed_len: int = 22
+    min_rep_len: int = 0
+    max_rep_copy: int = 50
+    max_consec_stay: int = 8
+    max_stay_frac: float = 0.5
+    min_seed_prob: float = -3.75
+    min_aln_len: int = 25
+    min_mean_conf: float = 6.0
+    min_top_conf: float = 1.85
+    exact_probs: bool = True
+    mxu: bool = False
+    sampled_sa: bool = False
+    sa_intv: int = 32
+
+    @staticmethod
+    def from_conf(conf: Conf, **over) -> "PoolParams":
+        mp, st, en = conf.mapper, conf.seed_tracker, conf.engine
+        kw = dict(
+            B=en.batch_reads,
+            PC=mp.max_paths,
+            seed_len=mp.seed_len,
+            min_rep_len=mp.min_rep_len,
+            max_rep_copy=mp.max_rep_copy,
+            max_consec_stay=mp.max_consec_stay,
+            max_stay_frac=mp.max_stay_frac,
+            min_seed_prob=mp.min_seed_prob,
+            min_aln_len=st.min_aln_len,
+            min_mean_conf=st.min_mean_conf,
+            min_top_conf=st.min_top_conf,
+        )
+        kw.update(over)
+        if "S" not in over:
+            kw["S"] = max(4096, kw["B"] * en.pool_slots_per_read)
+        if "SC" not in over:
+            kw["SC"] = kw["S"] + kw["S"] // 4
+        return PoolParams(**kw)
+
+
+def make_pool_state(p: PoolParams):
+    """Fresh pooled state: empty pool, B empty read slots."""
+    jnp = _jnp()
+    i32, f32 = jnp.int32, jnp.float32
+    B, S, CL = p.B, p.S, p.CL
+    z = lambda *s: jnp.zeros(s, i32)
+    return {
+        # flat path pool (rid == B marks a dead slot; sorted by rid)
+        "q_rid": jnp.full((S,), B, i32),
+        "q_start": z(S),
+        "q_end": z(S),
+        "q_kmer": z(S),
+        "q_total": z(S),
+        "q_consec": z(S),
+        "q_moves": z(S),
+        "q_sa": jnp.zeros((S,), bool),
+        "q_cum": jnp.zeros((S, p.seed_len + 1), f32),
+        # per-read pool occupancy (slots OWNED, including empty ones)
+        "n_paths": z(B),
+        # seed-cluster tracker + decision state: identical to engine.py
+        "cl_valid": jnp.zeros((B, CL), bool),
+        "cl_count": jnp.zeros((B, CL), bool),
+        "cl_ref_st": z(B, CL),
+        "cl_r1": z(B, CL),
+        "cl_r2e": z(B, CL),
+        "cl_evt_st": z(B, CL),
+        "cl_evt_en": z(B, CL),
+        "cl_total": z(B, CL),
+        "len_sum": jnp.zeros((B,), f32),
+        "n_cl": z(B),
+        "mm_len": z(B),
+        "mm_ref_st": z(B),
+        "mm_r1": z(B),
+        "mm_r2e": z(B),
+        "mm_evt_st": z(B),
+        "mm_evt_en": z(B),
+        "evt_i": z(B),
+        "done": jnp.ones((B,), bool),
+        "success": jnp.zeros((B,), bool),
+        "dec_evt": z(B),
+        # pool-exhaustion overflow (physical cuts only; the per-read
+        # budget is the reference's).  Bits: 2=candidate pool, 4=full-
+        # source cap, 8=path pool, 16=seed-row caps, 1=CL evict.
+        "ovf": jnp.zeros((B,), bool),
+        "ovf_why": z(B),
+        "dm_flags": z(B),
+        "dm_valid": z(B),
+        "dm_paths": z(B),
+        "dm_rows": z(B),
+    }
+
+
+def reset_pool_rows(state, mask):
+    """Reset read slots where mask[B]: per-read scalars/tables go fresh;
+    the read's pool slots are emptied in place (q_total=0; the next
+    event's assembly drops them)."""
+    jnp = _jnp()
+    B = state["done"].shape[0]
+    fresh = None
+    out = {}
+    for k, v in state.items():
+        if k.startswith("q_"):
+            rid = jnp.minimum(state["q_rid"], B - 1)
+            hit = mask[rid] & (state["q_rid"] < B)
+            if k == "q_total":
+                out[k] = jnp.where(hit, 0, v)
+            else:
+                out[k] = v
+            continue
+        if fresh is None:
+            fresh = make_pool_state(
+                PoolParams(
+                    B=B,
+                    S=state["q_rid"].shape[0],
+                    CL=state["cl_valid"].shape[1],
+                    seed_len=state["q_cum"].shape[1] - 1,
+                )
+            )
+        m = mask
+        while m.ndim < v.ndim:
+            m = m[..., None]
+        if k == "n_paths":
+            out[k] = v  # reset reads still OWN their (emptied) slots
+        elif k == "done":
+            out[k] = jnp.where(mask, False, v)
+        else:
+            out[k] = jnp.where(m, fresh[k], v)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# flat-array helpers
+# ---------------------------------------------------------------------------
+
+
+def _sort1d(keys, payloads=(), num_keys=None):
+    """lax.sort over flat arrays (shaped [1, N] for the TPU lowering)."""
+    import jax
+
+    ops = tuple(k[None, :] for k in (*keys, *payloads))
+    res = jax.lax.sort(ops, dimension=1, num_keys=num_keys or len(keys))
+    return tuple(r[0] for r in res)
+
+
+def _flat_take(tbl, idx, mxu):
+    """Flat shared-table gather, MXU-routed when enabled (bit-exact)."""
+    jnp = _jnp()
+    if mxu:
+        from ..ops.flat_gather import flat_gather
+
+        return flat_gather(tbl, idx, force=True)
+    ix = jnp.clip(idx, np.int32(0), np.int32(tbl.shape[0] - 1))
+    return jnp.take(tbl, ix, axis=0)
+
+
+def _flat_pack(fields, idx, mxu):
+    """Gather many same-length flat fields with ONE row gather (f32/bool
+    fields bitcast to i32, unpacked on return) — the flat-table analog of
+    engine._pack_gather."""
+    import jax
+
+    jnp = _jnp()
+    i32 = jnp.int32
+    cols, kinds = [], []
+    for f in fields:
+        if f.dtype == jnp.float32:
+            cols.append(jax.lax.bitcast_convert_type(f, i32))
+            kinds.append("f32")
+        elif f.dtype == jnp.bool_:
+            cols.append(f.astype(i32))
+            kinds.append("bool")
+        else:
+            cols.append(f.astype(i32))
+            kinds.append("i32")
+    packed = jnp.stack(cols, axis=1)  # [N, F]
+    if mxu:
+        from ..ops.flat_gather import flat_gather_fields
+
+        gcols = flat_gather_fields(packed, idx, force=True)
+    else:
+        ix = jnp.clip(idx, np.int32(0), np.int32(packed.shape[0] - 1))
+        g = jnp.take(packed, ix, axis=0)
+        gcols = [g[..., k] for k in range(packed.shape[1])]
+    out = []
+    for k, kind in enumerate(kinds):
+        v = gcols[k]
+        if kind == "f32":
+            v = jax.lax.bitcast_convert_type(v, jnp.float32)
+        elif kind == "bool":
+            v = v.astype(bool)
+        out.append(v)
+    return out
+
+
+def _compact1d(valid, w_out):
+    """Stable flat compaction indices: src[j] = index of the j-th True."""
+    import jax
+
+    jnp = _jnp()
+    N = valid.shape[0]
+    iota = jax.lax.iota(jnp.int32, N)
+    key = jnp.where(valid, iota, np.int32(N))
+    (skey,) = _sort1d((key,))
+    skey = skey[:w_out]
+    ok = skey < N
+    return jnp.minimum(skey, np.int32(N - 1)), ok
+
+
+def _seg_base(cum, boundaries, rid, mxu):
+    """Per-element within-segment value: cum[j] - cum[segment start of
+    rid[j]].  ``boundaries`` [B+1] are segment start positions into cum;
+    invalid rids (== B) read boundary B."""
+    jnp = _jnp()
+    base_b = _flat_take(cum, boundaries, mxu=False)  # [B+1] tiny
+    return _flat_take(base_b, rid, mxu)
+
+
+def _member_flat(keys, valid, n):
+    """Presence bitmap [n]: is id k among keys[valid]?  Two flat sorts
+    (engine._member generalized to one global key space)."""
+    import jax
+
+    jnp = _jnp()
+    i32 = jnp.int32
+    cand = jnp.where(valid, keys * 2, np.int32(2 * n))
+    sent = jax.lax.iota(i32, n) * 2 + 1
+    allk = jnp.concatenate([cand.astype(i32), sent])
+    (sk,) = _sort1d((allk,))
+    prev = jnp.concatenate([jnp.full((1,), -1, i32), sk[:-1]])
+    hit = ((sk & 1) == 1) & (prev == sk - 1)
+    k2 = jnp.where((sk & 1) == 1, sk >> 1, np.int32(n))
+    _, hits = _sort1d((k2,), (hit.astype(i32),), num_keys=1)
+    return hits[:n] > 0
+
+
+# ---------------------------------------------------------------------------
+# the pooled event step
+# ---------------------------------------------------------------------------
+
+
+def _pool_event_step(idx, p: PoolParams, st, ev, ev_on):
+    import jax
+
+    jnp = _jnp()
+    i32, f32 = jnp.int32, jnp.float32
+    B, S, SC, SL = p.B, p.S, p.SC, p.seed_len
+    KMASK = KMER_COUNT - 1
+    PATH_MASK = (1 << SL) - 1
+    TAIL_MOVE = 1 << (SL - 1)
+    RING = SL + 1
+    PC = p.PC
+    n = idx["n"]
+
+    alive = (~st["done"]) & ev_on  # [B]
+    probs = _match_probs(idx, ev, p.exact_probs)  # [B, 1024] f32
+
+    rid = st["q_rid"]  # [S], B = dead
+    ridc = jnp.minimum(rid, np.int32(B - 1))
+    owned = rid < B
+    slot_alive = owned & _flat_take(alive, ridc, p.mxu) & (st["q_total"] > 0)
+
+    # per-read segment boundaries in SLOT space (reads own contiguous
+    # segments by the assembly invariant)
+    off = jnp.concatenate(
+        [jnp.zeros((1,), i32), jnp.cumsum(st["n_paths"], dtype=i32)]
+    )  # [B+1]
+
+    # ---- candidate flags in creation order -------------------------------
+    pv = slot_alive
+    fmlen = st["q_end"] - st["q_start"] + 1
+    # one gather serves stay prob, 4 move probs and the fm-bin threshold:
+    # per-read table rows = [256 prob rows (4 lanes each), NT/4 thresh rows]
+    NT = idx["threshes"].shape[0]
+    NT4 = NT // 4
+    TR = KMER_COUNT // 4 + NT4
+    tbl4 = jnp.concatenate(
+        [
+            probs.reshape(B, KMER_COUNT // 4, 4),
+            jnp.broadcast_to(
+                idx["threshes"].reshape(NT4, 4)[None], (B, NT4, 4)
+            ),
+        ],
+        axis=1,
+    ).reshape(B * TR, 4)
+    fm_bin = _fm_bin(fmlen)
+    base_row = ridc * np.int32(TR)
+    allk3 = jnp.concatenate(
+        [
+            base_row + (st["q_kmer"] >> 2),
+            base_row + (st["q_kmer"] & (KMER_COUNT // 4 - 1)),
+            base_row + np.int32(KMER_COUNT // 4) + (fm_bin >> 2),
+        ]
+    )  # [3S]
+    g3 = _flat_take(tbl4, allk3, p.mxu)  # [3S, 4]
+    lane = lambda g4, j: jnp.sum(
+        jnp.where(
+            jax.lax.broadcasted_iota(i32, g4.shape, 1) == j[:, None],
+            g4, f32(0),
+        ),
+        axis=1,
+    )
+    stay_p = lane(g3[:S], st["q_kmer"] & 3)
+    mv_p = g3[S : 2 * S]  # [S, 4]
+    thresh = lane(g3[2 * S :], fm_bin & 3)
+    stay_f = pv & (st["q_consec"] < p.max_consec_stay) & (stay_p >= thresh)
+    # NaN-threshold polarity parity (mapper.cpp:471,489)
+    mv_f = pv[:, None] & ~(mv_p < thresh[:, None])
+    flags = jnp.concatenate([stay_f[:, None], mv_f], axis=1)  # [S, 5]
+
+    # ---- compact to the candidate pool (global, order-preserving) --------
+    flat = flags.reshape(5 * S)
+    pos = jnp.cumsum(flat, dtype=i32) - flat  # global exclusive positions
+    foff = off * 5  # flag-space read boundaries [B+1]
+    pos_pad = jnp.concatenate([pos, (pos[-1] + flat[-1])[None]])
+    cb = _flat_take(pos_pad, foff, False)  # candidate-space read starts [B+1]
+    n_flags_r = cb[1:] - cb[:-1]  # [B]
+
+    cidx, cval = _compact1d(flat, SC)  # cidx = flat code of the j-th flag
+    cpar = jnp.where(cval, jax.lax.div(cidx, np.int32(5)), np.int32(S))
+    move = jnp.where(cval, jax.lax.rem(cidx, np.int32(5)), np.int32(0))
+    cpar_g = jnp.minimum(cpar, np.int32(S - 1))
+
+    # candidate-pool exhaustion: reads whose flag segment spills past SC
+    cut_cand = (jnp.minimum(cb[1:], np.int32(SC)) - jnp.minimum(cb[:-1], np.int32(SC))) != n_flags_r
+
+    # ---- parent fields + FM extension ------------------------------------
+    cumnow_p = _ring_read(st["q_cum"][None], (st["q_total"] % RING)[None])[0]
+    wslot_p = jnp.where(
+        st["q_total"] + 1 >= SL, (st["q_total"] + 1 - SL) % RING, 0
+    )
+    wstart_p = _ring_read(st["q_cum"][None], wslot_p[None])[0]
+    cs, ce_, ck, ctot, ccons, cmvs, csa, ccum, cwst, crid = _flat_pack(
+        [st["q_start"], st["q_end"], st["q_kmer"], st["q_total"],
+         st["q_consec"], st["q_moves"], st["q_sa"], cumnow_p, wstart_p,
+         ridc],
+        cpar_g, p.mxu,
+    )
+    crid = jnp.where(cval, crid, np.int32(B))
+    crid_g = jnp.minimum(crid, np.int32(B - 1))
+
+    is_mv = move >= 1
+    mvbase = jnp.clip(move - 1, np.int32(0), np.int32(3))
+    nk = jnp.where(is_mv, ((ck << 2) & KMASK) | mvbase, ck)
+    ns_m, ne_m = _extend(idx, cs, ce_, mvbase)
+    ns = jnp.where(is_mv, ns_m, cs)
+    ne = jnp.where(is_mv, ne_m, ce_)
+    cv_fm = cval & ((~is_mv) | (ns <= ne))
+
+    # within-read FM-valid count -> the reference's max_paths budget
+    vcum = jnp.cumsum(cv_fm, dtype=i32) - cv_fm
+    vcum_pad = jnp.concatenate([vcum, (vcum[-1] + cv_fm[-1])[None]])
+    cb_c = jnp.minimum(cb, np.int32(SC))
+    vbase_b = _flat_take(vcum_pad, cb_c, False)  # [B+1]
+    wvalid = vcum - _flat_take(vbase_b[:-1], crid_g, p.mxu)
+    cvalid = cv_fm & (wvalid < PC)
+    n_valid_r = vbase_b[1:] - vbase_b[:-1]  # per-read FM-valid totals
+
+    prob = lane(
+        _flat_take(tbl4, jnp.minimum(crid_g, B - 1) * np.int32(TR) + (nk >> 2), p.mxu),
+        nk & 3,
+    )
+    new_tot = ctot + 1
+    newcum = ccum + prob
+    seedprob = jnp.where(
+        new_tot >= SL,
+        (newcum - cwst) / f32(SL),
+        newcum / new_tot.astype(f32),
+    )
+    nmoves = ((cmvs << 1) | is_mv.astype(i32)) & PATH_MASK
+    nmoves = jnp.where(ctot >= SL, nmoves | TAIL_MOVE, nmoves)
+    nconsec = jnp.where(is_mv, 0, ccons + 1)
+
+    # ---- ended parents (budget-break parity, mapper.cpp:455-520) ---------
+    k_i = pos[0::5]  # [S] global compacted position of each stay flag
+    slot_i = jax.lax.iota(i32, S)
+    nxt_rid = jnp.concatenate([rid[1:], jnp.full((1,), B, i32)])
+    is_last = nxt_rid != rid
+    k_next = jnp.concatenate([k_i[1:], (pos[-1] + flat[-1])[None]])
+    seg_end_c = _flat_take(cb[1:], ridc, p.mxu)  # read's candidate end
+    k_next = jnp.where(is_last, seg_end_c, k_next)
+    wv_pad = jnp.concatenate([wvalid, jnp.zeros((1,), i32)])
+    tot_valid_slot = _flat_take(n_valid_r, ridc, p.mxu)  # [S]
+
+    # within-read valid count at a global candidate position (clamped to
+    # the read's own segment end => its valid total)
+    def wv_at(kpos):
+        inseg = (kpos < seg_end_c) & (kpos < SC)
+        v = _flat_take(wv_pad, jnp.minimum(kpos, np.int32(SC)), p.mxu)
+        return jnp.where(inseg, v, tot_valid_slot)
+
+    vb = wv_at(k_i)
+    vb_next = wv_at(k_next)
+    child_any = jnp.minimum(vb_next, np.int32(PC)) > jnp.minimum(vb, np.int32(PC))
+    reached = (k_i < SC) & (vb < PC)
+    pmc = jax.lax.population_count(st["q_moves"]).astype(i32)
+    tot_q = st["q_total"]
+    cum_now_q = cumnow_p
+    wslot_q = jnp.where(tot_q >= SL, (tot_q - SL) % RING, 0)
+    wstart_q = _ring_read(st["q_cum"][None], wslot_q[None])[0]
+    pseedprob = jnp.where(
+        tot_q >= SL,
+        (cum_now_q - wstart_q) / f32(SL),
+        cum_now_q / jnp.maximum(tot_q, 1).astype(f32),
+    )
+    ended = pv & (~child_any) & (~st["q_sa"]) & reached
+    e_rep = (fmlen <= p.max_rep_copy) & (pmc >= p.min_rep_len)
+    e_unique = (
+        (fmlen == 1)
+        & ((st["q_moves"] & 1) == 1)
+        & ((SL - pmc) <= p.max_stay_frac * SL)
+    )
+    e_valid = (
+        ended
+        & (jnp.minimum(tot_q, SL) == SL)
+        & (pseedprob >= p.min_seed_prob)
+        & (e_unique | e_rep)
+    )
+    e_rows = jnp.where(e_valid, jnp.minimum(fmlen, p.max_rep_copy), 0)
+
+    # ---- sort candidates by (read, fm_start, fm_end, seed_prob) ----------
+    rid_key = jnp.where(cvalid, crid, np.int32(B))
+    k1 = jnp.where(cvalid, ns, INT32_MAX)
+    k2 = jnp.where(cvalid, ne, INT32_MAX)
+    iota_c = jax.lax.iota(i32, SC)
+    rks, k1s, k2s, k3s, perm = _sort1d(
+        (rid_key, k1, k2, seedprob), (iota_c,), num_keys=4
+    )
+    svalid = rks < B
+    ns_s, ne_s, seedprob_s = k1s, k2s, k3s
+    rid_s = jnp.minimum(rks, np.int32(B - 1))
+    nk_s, prob_s, ntot_s, nmoves_s = _flat_pack(
+        [nk, prob, new_tot, nmoves], perm, p.mxu
+    )
+
+    nxt1 = lambda a, fill: jnp.concatenate([a[1:], jnp.full((1,), fill, a.dtype)])
+    same_next = nxt1(rks, B) == rks
+    dup = (
+        svalid
+        & nxt1(svalid, False)
+        & same_next
+        & (ns_s == nxt1(ns_s, -1))
+        & (ne_s == nxt1(ne_s, -1))
+    )
+
+    # candidate seed validity (non-ended branch of is_seed_valid)
+    smc = jax.lax.population_count(nmoves_s).astype(i32)
+    seed_c = (
+        svalid
+        & (~dup)
+        & (ntot_s >= SL)
+        & (seedprob_s >= p.min_seed_prob)
+        & ((ne_s - ns_s + 1) == 1)
+        & ((nmoves_s & 1) == 1)
+        & ((SL - smc) <= p.max_stay_frac * SL)
+    )
+
+    # ---- seed rows: ended groups (pool order) then candidates (sorted) ---
+    # compact the few row-bearing entries, expand to rows, feed the
+    # [B, CL] tracker via a [B, R] table (tracker code shared with engine)
+    MRC0 = p.max_rep_copy
+    RE = min(p.RE, S + SC)
+    RT = min(p.RT, RE * MRC0)
+    R = p.R
+    ent_valid = jnp.concatenate([e_rows > 0, seed_c])
+    ent_rid = jnp.concatenate([rid, rid_s])
+    ent_rid = jnp.where(ent_valid, ent_rid, np.int32(B))
+    ent_order = jnp.concatenate(
+        [slot_i, np.int32(S) + iota_c]
+    )  # ended (pool order) before candidates (sorted order) per read:
+    # pool slots and candidates both rid-contiguous; S offset keeps
+    # candidate entries after ended entries within a read
+    ent_rows_all = jnp.concatenate([e_rows, seed_c.astype(i32)])
+    ent_st_all = jnp.concatenate([st["q_start"], ns_s])
+    ent_mc_all = jnp.concatenate([pmc, smc])
+    ent_ended = jnp.concatenate(
+        [jnp.ones((S,), bool), jnp.zeros((SC,), bool)]
+    )
+    ekey_r, ekey_o, eperm = _sort1d(
+        (ent_rid, ent_order), (jax.lax.iota(i32, S + SC),), num_keys=2
+    )
+    e_ok = (ekey_r < B) & (jax.lax.iota(i32, S + SC) < RE)
+    eperm = eperm[:RE]
+    e_ok = e_ok[:RE]
+    g_rows, g_st, g_mc, g_end = _flat_pack(
+        [ent_rows_all, ent_st_all, ent_mc_all, ent_ended], eperm, p.mxu
+    )
+    g_rid = jnp.minimum(ekey_r[:RE], np.int32(B - 1))
+    g_rows = jnp.where(e_ok, g_rows, 0)
+    # cut diagnostics: any row-bearing entry beyond RE
+    n_ent = jnp.sum(ent_valid.astype(i32), dtype=i32)
+    rows_cut_global = n_ent > RE
+
+    # expand entries -> rows ([RE, MRC] grid, compact to RT)
+    MRC = p.max_rep_copy
+    row_val = (
+        jax.lax.broadcasted_iota(i32, (RE, MRC), 1) < g_rows[:, None]
+    ).reshape(RE * MRC)
+    rsrc, r_ok = _compact1d(row_val, RT)
+    r_ent = jax.lax.div(rsrc, np.int32(MRC))
+    r_off = jax.lax.rem(rsrc, np.int32(MRC))
+    rr_rid, rr_st, rr_mc, rr_end = _flat_pack(
+        [g_rid, g_st, g_mc, g_end], r_ent, p.mxu
+    )
+    rr_rid = jnp.where(r_ok, rr_rid, np.int32(B))
+    sa_row = jnp.clip(rr_st + r_off, np.int32(0), np.int32(n))
+    if p.sampled_sa:
+        ref_en_flat = n - _sa_lookup(idx, sa_row, p.sa_intv)
+    else:
+        ref_en_flat = n - _shard_take(idx, "sa", sa_row)
+    rr_evti = _flat_take(st["evt_i"], jnp.minimum(rr_rid, B - 1), False)
+    rr_evt = jnp.where(rr_end, rr_evti - 1, rr_evti)
+
+    # rows -> [B, R] (rows are rid-sorted after the entry sort)
+    rcum = jnp.cumsum((rr_rid[:, None] == jnp.arange(B, dtype=i32)[None, :]).astype(i32), axis=0, dtype=i32)
+    rows_r = rcum[-1]  # [B] per-read row counts
+    roff = jnp.concatenate([jnp.zeros((1,), i32), jnp.cumsum(rows_r, dtype=i32)])
+    row_ids = jnp.arange(R, dtype=i32)
+    gidx = roff[:-1][:, None] + row_ids[None, :]  # [B, R]
+    row_ok2 = (row_ids[None, :] < rows_r[:, None]) & alive[:, None]
+    gi = jnp.minimum(gidx, np.int32(RT - 1)).reshape(B * R)
+    b_ref_en, b_mc, b_evt = _flat_pack(
+        [ref_en_flat, rr_mc, rr_evt], gi, p.mxu
+    )
+    b_ref_en = b_ref_en.reshape(B, R)
+    b_mc = b_mc.reshape(B, R)
+    b_evt = b_evt.reshape(B, R)
+    rows_cut_r = rows_r > R
+
+    tstate = {
+        k: st[k]
+        for k in (
+            "cl_valid", "cl_count", "cl_ref_st", "cl_r1", "cl_r2e",
+            "cl_evt_st", "cl_evt_en", "cl_total", "len_sum", "n_cl",
+            "mm_len", "mm_ref_st", "mm_r1", "mm_r2e", "mm_evt_st", "mm_evt_en",
+            "ovf", "ovf_why",
+        )
+    }
+    max_rows = jnp.minimum(jnp.max(jnp.where(alive, rows_r, 0)), np.int32(R))
+
+    class _TP:
+        min_aln_len = p.min_aln_len
+
+    def row_body(carry):
+        r, ts = carry
+        ts2 = _tracker_add(
+            _TP, ts, b_ref_en[:, r], b_mc[:, r], b_evt[:, r], row_ok2[:, r]
+        )
+        return r + 1, ts2
+
+    _, tstate = jax.lax.while_loop(
+        lambda c: c[0] < max_rows, row_body, (jnp.int32(0), tstate)
+    )
+
+    # ---- sources (mapper.cpp:544-624) -------------------------------------
+    source_prob = idx["threshes"][0]
+    kpass = prob_s >= source_prob
+    prev_k = jnp.concatenate([jnp.full((1,), -1, i32), nk_s[:-1]])
+    prev_r = jnp.concatenate([jnp.full((1,), -1, i32), rks[:-1]])
+    first_seg = svalid & ((nk_s != prev_k) | (rks != prev_r))
+    seg_id = jnp.cumsum(first_seg, dtype=i32)
+
+    def _segmax(a, b):
+        sa_, ma = a
+        sb, mb = b
+        return sb, jnp.where(sa_ == sb, jnp.maximum(ma, mb), mb)
+
+    _, run_end = jax.lax.associative_scan(
+        _segmax, (seg_id[None], ne_s[None]), axis=1
+    )
+    run_end = run_end[0]
+
+    km_st = _flat_take(idx["kmer_st"], nk_s, p.mxu)
+    km_en = _flat_take(idx["kmer_en"], nk_s, p.mxu)
+    head_st = km_st
+    head_en = ns_s - 1
+    head_v = first_seg & kpass & (head_st <= head_en)
+
+    nxt_same = nxt1(svalid, False) & same_next & (nxt1(nk_s, -1) == nk_s)
+    gap_st = run_end + 1
+    gap_en = jnp.where(nxt_same, nxt1(ns_s, 0) - 1, km_en)
+    gap_v = svalid & (~dup) & kpass & (gap_st <= gap_en)
+
+    present = _member_flat(
+        rid_s * np.int32(KMER_COUNT) + nk_s, svalid, B * KMER_COUNT
+    ).reshape(B, KMER_COUNT)
+    full_v = (
+        (~present)
+        & (probs >= source_prob)
+        & (idx["kmer_st"] <= idx["kmer_en"])[None, :]
+        & alive[:, None]
+    )
+
+    # ---- assemble the new pool --------------------------------------------
+    # creation-order key per read (mapper.cpp keep-list):
+    #   children: within-read non-dup sorted position
+    #   sources:  n_cands_r + within-read source position (head/gap
+    #             interleaved by candidate, then full by k-mer)
+    child_keep = svalid & (~dup)
+    ckcum = jnp.cumsum(child_keep, dtype=i32) - child_keep
+    # per-read candidate starts in SORTED space == cb (same counts)
+    ck_base = _seg_base(
+        jnp.concatenate([ckcum, (ckcum[-1] + child_keep[-1])[None]]),
+        cb_c, rid_s, p.mxu,
+    )
+    # n_cands per read INCLUDES dups (the reference's budget_left counts
+    # all sorted candidates, mapper.cpp:544-624) = per-read cvalid count
+    nc_r = jnp.minimum(vbase_b[1:] - vbase_b[:-1], np.int32(PC))
+
+    hg_v = jnp.stack([head_v, gap_v], axis=1).reshape(2 * SC)
+    hg_rid0 = jnp.stack([rid_s, rid_s], axis=1).reshape(2 * SC)
+    hg_rid = jnp.where(hg_v, hg_rid0, np.int32(B))
+    hgcum = jnp.cumsum(hg_v, dtype=i32) - hg_v
+    hgcum_pad = jnp.concatenate([hgcum, (hgcum[-1] + hg_v[-1])[None]])
+    hg_base = _seg_base(hgcum_pad, cb_c * 2, hg_rid0, p.mxu)
+    hg_end_b = _flat_take(hgcum_pad, cb_c * 2, False)  # [B+1]
+    n_hg_r = hg_end_b[1:] - hg_end_b[:-1]
+    ord_hg = (
+        _flat_take(nc_r, jnp.minimum(hg_rid0, B - 1), p.mxu)
+        + (hgcum - hg_base)
+    )
+
+    # full sources: per-read 2D compaction to FS slots (kmer order kept)
+    FS = p.FS
+    iota_k = jax.lax.broadcasted_iota(i32, (B, KMER_COUNT), 1)
+    fkey = jnp.where(full_v, iota_k, np.int32(KMER_COUNT))
+    fkey_s = jax.lax.sort(fkey, dimension=1)[:, :FS]
+    f_ok = fkey_s < KMER_COUNT
+    f_kmer = jnp.minimum(fkey_s, np.int32(KMER_COUNT - 1))
+    n_full_r = jnp.sum(full_v.astype(i32), axis=1, dtype=i32)
+    cut_full = n_full_r > FS
+    f_rid = jnp.where(
+        f_ok, jnp.broadcast_to(jnp.arange(B, dtype=i32)[:, None], (B, FS)), B
+    ).reshape(B * FS)
+    fpos = jax.lax.broadcasted_iota(i32, (B, FS), 1).reshape(B * FS)
+    ord_full = (
+        _flat_take(nc_r + n_hg_r, jnp.minimum(f_rid, B - 1), p.mxu) + fpos
+    )
+
+    # carried slots: owned reads that are NOT advancing this step (block
+    # padding: on[b, t] false but more events coming) keep their paths
+    # unchanged; done reads' paths are dropped (decision already made)
+    not_running = ~_flat_take(alive | st["done"], ridc, p.mxu)
+    carried = owned & not_running & (st["q_total"] > 0)
+    ord_car = slot_i - _flat_take(off[:-1], ridc, p.mxu)
+
+    # merge the four classes: sort by (rid, ord), keep the first S
+    A_rid = jnp.where(child_keep, rks, np.int32(B))
+    ord_A = ckcum - ck_base
+    cat_rid = jnp.concatenate([
+        A_rid, hg_rid, f_rid, jnp.where(carried, rid, np.int32(B)),
+    ])
+    cat_ord = jnp.concatenate([
+        jnp.where(child_keep, ord_A, np.int32(0)),
+        jnp.where(hg_v, ord_hg, np.int32(0)),
+        jnp.where(f_ok.reshape(B * FS), ord_full, np.int32(0)),
+        jnp.where(carried, ord_car, np.int32(0)),
+    ])
+    # per-read budget: the reference's max_paths (sources stop there)
+    over_pc = cat_ord >= PC
+    cat_rid = jnp.where(over_pc, np.int32(B), cat_rid)
+    NCAT = SC + 2 * SC + B * FS + S
+    code = jax.lax.iota(i32, NCAT)
+    srid, sord, scode = _sort1d((cat_rid, cat_ord), (code,), num_keys=2)
+    srid, sord, scode = srid[:S], sord[:S], scode[:S]
+    keep = srid < B
+    new_rid = jnp.where(keep, srid, np.int32(B))
+
+    cls_A = scode < SC
+    cls_H = (scode >= SC) & (scode < 3 * SC)
+    cls_F = (scode >= 3 * SC) & (scode < 3 * SC + B * FS)
+    cls_D = scode >= 3 * SC + B * FS
+    idx_A = jnp.minimum(scode, np.int32(SC - 1))
+    idx_H = jnp.clip(scode - SC, np.int32(0), np.int32(2 * SC - 1))
+    idx_F = jnp.clip(scode - 3 * SC, np.int32(0), np.int32(B * FS - 1))
+    idx_D = jnp.clip(
+        scode - (3 * SC + B * FS), np.int32(0), np.int32(S - 1)
+    )
+
+    # class A (children): sorted-space fields + candidate-space (via perm)
+    a_ns, a_ne, a_nk, a_tot, a_mvs, a_seedc, a_ci = _flat_pack(
+        [ns_s, ne_s, nk_s, ntot_s, nmoves_s, seed_c, perm],
+        idx_A, p.mxu,
+    )
+    ai = jnp.minimum(a_ci, np.int32(SC - 1))
+    a_cons, a_sa0, a_newcum, a_par, a_prob = _flat_pack(
+        [nconsec, csa, newcum, cpar_g, prob], ai, p.mxu
+    )
+    a_sa = a_sa0 | a_seedc
+
+    # class H (head/gap): fields from sorted space at idx_H // 2
+    hj = jnp.minimum(jax.lax.div(idx_H, np.int32(2)), np.int32(SC - 1))
+    is_gap = jax.lax.rem(idx_H, np.int32(2)) == 1
+    h_hst, h_hen, h_gst, h_gen, h_nk, h_prob = _flat_pack(
+        [head_st, head_en, gap_st, gap_en, nk_s, prob_s], hj, p.mxu
+    )
+    h_st = jnp.where(is_gap, h_gst, h_hst)
+    h_en = jnp.where(is_gap, h_gen, h_hen)
+
+    # class F (full): kmer-derived fields
+    fkm = _flat_take(f_kmer.reshape(B * FS), idx_F, p.mxu)
+    f_st = _flat_take(idx["kmer_st"], fkm, p.mxu)
+    f_en = _flat_take(idx["kmer_en"], fkm, p.mxu)
+    f_rid_g = jnp.minimum(_flat_take(f_rid, idx_F, p.mxu), np.int32(B - 1))
+    f_prob = lane(
+        _flat_take(tbl4, f_rid_g * np.int32(TR) + (fkm >> 2), p.mxu),
+        fkm & 3,
+    )
+
+    # class D (carried): own pool fields
+    d_start, d_end, d_kmer, d_tot, d_cons, d_mvs, d_sa = _flat_pack(
+        [st["q_start"], st["q_end"], st["q_kmer"], st["q_total"],
+         st["q_consec"], st["q_moves"], st["q_sa"]],
+        idx_D, p.mxu,
+    )
+
+    sel = lambda a, h, f_, d: jnp.where(
+        cls_A, a, jnp.where(cls_H, h, jnp.where(cls_F, f_, d))
+    )
+    z_s = jnp.zeros((S,), i32)
+    nq_start = jnp.where(keep, sel(a_ns, h_st, f_st, d_start), 0)
+    nq_end = jnp.where(keep, sel(a_ne, h_en, f_en, d_end), -1)
+    nq_kmer = jnp.where(keep, sel(a_nk, h_nk, fkm, d_kmer), 0)
+    nq_total = jnp.where(keep, sel(a_tot, z_s + 1, z_s + 1, d_tot), 0)
+    nq_consec = jnp.where(keep, sel(a_cons, z_s, z_s, d_cons), 0)
+    nq_moves = jnp.where(keep, sel(a_mvs, z_s + 1, z_s + 1, d_mvs), 0)
+    nq_sa = keep & sel(a_sa, z_s > 0, z_s > 0, d_sa)
+
+    # ring: children copy the parent ring (new slot written); sources get
+    # slot 1 = prob; carried slots copy their own ring
+    ring_src = jnp.where(cls_A, a_par, jnp.where(cls_D, idx_D, np.int32(0)))
+    ring_rows = _flat_take(
+        st["q_cum"], jnp.minimum(ring_src, np.int32(S - 1)), p.mxu
+    )  # [S, RING] f32
+    ring_iota = jax.lax.broadcasted_iota(i32, (S, RING), 1)
+    child_ring = jnp.where(
+        ring_iota == (a_tot % RING)[:, None], a_newcum[:, None], ring_rows
+    )
+    src_prob_s = jnp.where(cls_H, h_prob, f_prob)
+    src_ring = jnp.where(ring_iota == 1, src_prob_s[:, None], f32(0))
+    nq_cum = jnp.where(
+        keep[:, None],
+        jnp.where(
+            cls_A[:, None], child_ring,
+            jnp.where(cls_D[:, None], ring_rows, src_ring),
+        ),
+        f32(0),
+    ).astype(f32)
+
+    # per-read new occupancy, and pool-exhaustion cuts (wanted vs kept)
+    n_new = jnp.sum(
+        (new_rid[:, None] == jnp.arange(B, dtype=i32)[None, :]).astype(i32),
+        axis=0, dtype=i32,
+    )
+    n_want = jnp.sum(
+        (cat_rid[:, None] == jnp.arange(B, dtype=i32)[None, :]).astype(i32),
+        axis=0, dtype=i32,
+    )
+    cut_pool_r = n_want != n_new
+
+    out = dict(st)
+    new_pool = {
+        "q_rid": new_rid,
+        "q_start": nq_start,
+        "q_end": nq_end,
+        "q_kmer": nq_kmer,
+        "q_total": nq_total,
+        "q_consec": nq_consec,
+        "q_moves": nq_moves,
+        "q_sa": nq_sa,
+        "q_cum": nq_cum,
+    }
+    for k, v in new_pool.items():
+        out[k] = v
+    out["n_paths"] = n_new
+    for k, v in tstate.items():
+        m = alive
+        while m.ndim < v.ndim:
+            m = m[..., None]
+        out[k] = jnp.where(m, v, st[k])
+
+    # overflow flags: PHYSICAL pool cuts only (per-read budget is the
+    # reference's); bits: 2=candidate pool, 4=full-source cap, 8=path
+    # pool, 16=row caps, 1=CL evict (tracker)
+    rows_cut = rows_cut_r | rows_cut_global
+    ovf_ev = cut_cand | cut_full | cut_pool_r | rows_cut
+    out["ovf"] = out["ovf"] | (ovf_ev & alive)
+    why = (
+        jnp.where(cut_cand, np.int32(2), np.int32(0))
+        | jnp.where(cut_full, np.int32(4), np.int32(0))
+        | jnp.where(cut_pool_r, np.int32(8), np.int32(0))
+        | jnp.where(rows_cut, np.int32(16), np.int32(0))
+    )
+    out["ovf_why"] = out["ovf_why"] | jnp.where(alive, why, np.int32(0))
+    upd = lambda cur, v: jnp.maximum(cur, jnp.where(alive, v, np.int32(0)))
+    out["dm_flags"] = upd(st["dm_flags"], n_flags_r)
+    out["dm_valid"] = upd(st["dm_valid"], n_valid_r)
+    out["dm_paths"] = upd(st["dm_paths"], n_want)
+    out["dm_rows"] = upd(st["dm_rows"], rows_r)
+
+    dec = _tracker_decide(p, out) & alive
+    out["done"] = st["done"] | dec
+    out["success"] = st["success"] | dec
+    out["dec_evt"] = jnp.where(dec, st["evt_i"], st["dec_evt"])
+    out["evt_i"] = st["evt_i"] + alive.astype(i32)
+    return out
+
+
+def pool_advance_block(idx, p: PoolParams, state, means, on):
+    """Advance all read slots through T events: means/on are [B, T]."""
+    import jax
+
+    def step(st, inp):
+        ev, ev_on = inp
+        return _pool_event_step(idx, p, st, ev, ev_on), None
+
+    state, _ = jax.lax.scan(step, state, (means.T, on.T))
+    return state
+
+
+class PooledEngine:
+    """Host wrapper with MapEngine's interface (drop-in for BatchMapper)."""
+
+    def __init__(self, fmi, model, threshes, conf: Conf | None = None, **over):
+        import jax
+
+        self.conf = conf or Conf()
+        over.setdefault("mxu", jax.default_backend() == "tpu")
+        self.params = PoolParams.from_conf(self.conf, **over)
+        self.fmi = fmi
+        self.model = model
+        self.idx = device_index(
+            fmi, threshes, model,
+            sampled_sa=self.params.sampled_sa, sa_intv=self.params.sa_intv,
+        )
+        p = self.params
+
+        def _adv(state, means, on):
+            return pool_advance_block(self.idx, p, state, means, on)
+
+        self._advance = jax.jit(_adv, donate_argnums=(0,))
+
+    def fresh_state(self):
+        return make_pool_state(self.params)
+
+    def reset_slots(self, state, mask):
+        import jax.numpy as jnp
+
+        return reset_pool_rows(state, jnp.asarray(mask))
+
+    def advance(self, state, means, on):
+        import jax.numpy as jnp
+
+        means = jnp.asarray(means, dtype=jnp.float32)
+        on = jnp.asarray(on, dtype=bool)
+        return self._advance(state, means, on)
+
+    def readout(self, state):
+        import jax
+
+        keys = (
+            "done", "success", "dec_evt", "evt_i", "ovf", "ovf_why",
+            "dm_flags", "dm_valid", "dm_paths", "dm_rows",
+            "mm_len", "mm_ref_st", "mm_r1", "mm_r2e", "mm_evt_st", "mm_evt_en",
+        )
+        vals = jax.device_get([state[k] for k in keys])
+        return dict(zip(keys, vals))
