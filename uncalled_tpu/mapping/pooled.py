@@ -313,6 +313,7 @@ def _pool_event_step(idx, p: PoolParams, st, ev, ev_on):
     PATH_MASK = (1 << SL) - 1
     TAIL_MOVE = 1 << (SL - 1)
     RING = SL + 1
+    RINGi = np.int32(RING)
     PC = p.PC
     n = idx["n"]
 
@@ -389,9 +390,9 @@ def _pool_event_step(idx, p: PoolParams, st, ev, ev_on):
     cut_cand = (jnp.minimum(cb[1:], np.int32(SC)) - jnp.minimum(cb[:-1], np.int32(SC))) != n_flags_r
 
     # ---- parent fields + FM extension ------------------------------------
-    cumnow_p = _ring_read(st["q_cum"][None], (st["q_total"] % RING)[None])[0]
+    cumnow_p = _ring_read(st["q_cum"][None], (st["q_total"] % RINGi)[None])[0]
     wslot_p = jnp.where(
-        st["q_total"] + 1 >= SL, (st["q_total"] + 1 - SL) % RING, 0
+        st["q_total"] + 1 >= SL, (st["q_total"] + 1 - SL) % RINGi, 0
     )
     wstart_p = _ring_read(st["q_cum"][None], wslot_p[None])[0]
     cs, ce_, ck, ctot, ccons, cmvs, csa, ccum, cwst, crid = _flat_pack(
@@ -460,7 +461,7 @@ def _pool_event_step(idx, p: PoolParams, st, ev, ev_on):
     pmc = jax.lax.population_count(st["q_moves"]).astype(i32)
     tot_q = st["q_total"]
     cum_now_q = cumnow_p
-    wslot_q = jnp.where(tot_q >= SL, (tot_q - SL) % RING, 0)
+    wslot_q = jnp.where(tot_q >= SL, (tot_q - SL) % RINGi, 0)
     wstart_q = _ring_read(st["q_cum"][None], wslot_q[None])[0]
     pseedprob = jnp.where(
         tot_q >= SL,
@@ -798,7 +799,7 @@ def _pool_event_step(idx, p: PoolParams, st, ev, ev_on):
     )  # [S, RING] f32
     ring_iota = jax.lax.broadcasted_iota(i32, (S, RING), 1)
     child_ring = jnp.where(
-        ring_iota == (a_tot % RING)[:, None], a_newcum[:, None], ring_rows
+        ring_iota == (a_tot % RINGi)[:, None], a_newcum[:, None], ring_rows
     )
     src_prob_s = jnp.where(cls_H, h_prob, f_prob)
     src_ring = jnp.where(ring_iota == 1, src_prob_s[:, None], f32(0))
