@@ -60,8 +60,10 @@ class PoolParams:
     SC: int = 131072  # candidate pool slots per event
     FS: int = 256  # full-range sources kept per read per event
     RE: int = 1024  # seed-group entries per event (whole batch)
-    RT: int = 2048  # expanded seed rows per event (whole batch)
-    R: int = 128  # seed rows per read per event ([B, R] tracker feed)
+    RT: int = 4096  # expanded seed rows per event (whole batch)
+    # seed rows per read per event ([B, R] tracker feed): measured
+    # per-read max 360 on honest reads (p99=257) -> 384 ~never trips
+    R: int = 384
     CL: int = 1024  # seed-cluster table capacity per read
     PC: int = 10000  # per-read path budget (the reference's max_paths)
     # mapper / tracker params (identical to EngineParams)
