@@ -48,6 +48,43 @@ def test_pooled_slots_recycle(pmap, make_read, golden_reads, golden_pafs):
     run(pmap, make_read, golden_reads, golden_pafs, rids)
 
 
+@pytest.mark.slow
+def test_pooled_matches_oracle_on_repeat_genome(pore_model, tmp_path_factory):
+    """Pooled vs oracle on a repeat-bearing genome with model-mismatched
+    reads — the source-burst / budget-binding regime the goldens don't
+    reach.  The oracle runs the reference's own budgets, so this pins
+    the pooled engine's per-read budget-parity claim."""
+    from uncalled_tpu.index.build import build_index
+    from uncalled_tpu.index.parameterize import build_uncl
+    from uncalled_tpu.mapping.oracle import OracleMapper, load_uncl
+    from uncalled_tpu.testing.simulate import realistic_genome, simulate_reads
+
+    d = tmp_path_factory.mktemp("pooled_scale")
+    fa = d / "ref.fa"
+    seq = realistic_genome(120_000, seed=3)
+    fa.write_text(">pool_ref\n" + "\n".join(
+        seq[i : i + 80] for i in range(0, len(seq), 80)
+    ) + "\n")
+    fmi = build_index(str(fa))
+    threshes = load_uncl(build_uncl(fmi, str(fa)[:-3]))
+    reads = simulate_reads(str(fa), 3, seed=17, read_len_bp=(1200, 2200),
+                           mismatch=True)
+
+    oracle = OracleMapper(fmi, pore_model, threshes, Conf())
+    want = {r.id: oracle.map_read(r).to_line() for r in reads}
+
+    conf = Conf()
+    conf.engine.batch_reads = 3
+    conf.engine.evt_block = 16
+    conf.engine.pooled = True
+    conf.engine.pool_slots_per_read = 2048
+    bm = BatchMapper(fmi, pore_model, threshes, conf, CL=2048)
+    got = {p.rd_name: p.to_line() for p in bm.map_reads(reads)}
+    assert bm.ovf_why == {}, bm.ovf_why
+    for rid in want:
+        assert got[rid] == want[rid], rid
+
+
 def test_pooled_pool_exhaustion_flags_and_ladder(
     example_index, example_threshes, pore_model, make_read, golden_reads,
     golden_pafs,
