@@ -193,3 +193,25 @@ def test_device_dsp_wave_matches_host(
         assert d.rf_name == h.rf_name, rid
         assert abs(d.rf_st - h.rf_st) < 50, (rid, d.rf_st, h.rf_st)
         assert d.fwd == h.fwd, rid
+
+
+def test_drain_shrink_preserves_parity(
+    example_index, example_threshes, pore_model, make_read, golden_reads,
+    golden_pafs,
+):
+    """Straggler drain restarts tail reads on a B/8 mapper; byte parity
+    must hold through the restart."""
+    conf = Conf()
+    conf.engine.batch_reads = 64  # >= drain threshold, 2 reads <= B//8
+    conf.engine.drain_shrink = True
+    bm = BatchMapper(example_index, pore_model, example_threshes, conf)
+    rids = [
+        "sim_0000_Escherichia_coli_3854_+",
+        "sim_0003_Escherichia_coli_6188_-",
+    ]
+    reads = [make_read(r, golden_reads[r]) for r in rids]
+    got = {p.rd_name: p.to_line() for p in bm.map_reads(reads)}
+    assert bm._drain_mapper is not None  # the drain path actually ran
+    assert bm._drain_mapper.eng.params.B == 16
+    for rid in rids:
+        assert got[rid] == golden_pafs[rid], rid

@@ -142,6 +142,10 @@ class EngineParams:
     # exhaustion.  pool_slots_per_read sizes the pool (S = B * this).
     pooled: bool = False
     pool_slots_per_read: int = 384
+    # straggler drain: once the input queue is empty and few reads
+    # remain, restart them on a B/8-wide mapper (step cost ~ B) instead
+    # of paying full-width steps for a near-empty batch
+    drain_shrink: bool = True
     # remap ladder: reads whose engine run trips ANY fixed budget (path /
     # candidate / seed-row / cluster capacity) are EJECTED EARLY and
     # re-mapped on a wider rung, so narrow budgets are a throughput

@@ -83,6 +83,8 @@ class BatchMapper:
         # own overflow flags.
         self._rung = _rung
         self._next_mapper = None
+        self._over = dict(over)
+        self._drain_mapper = None
         # per-read budget-overflow bitmask recorded at harvest time
         # (1=CL evict, 2=CE flags, 4=C cands, 8=P paths, 16=R rows);
         # diagnostics for tuning the remap ladder
@@ -102,6 +104,22 @@ class BatchMapper:
                 B=B, P=P, C=P, R=R, CL=CL, CE=CE,
             )
         return self._next_mapper
+
+    def _get_drain(self) -> "BatchMapper":
+        """Straggler-drain mapper: same budgets and ladder rung, B/8 read
+        slots.  Once the input queue is empty and few reads remain, the
+        full-width batch pays its whole step cost for a near-empty slot
+        array — the tail of long-deciding reads dominated wall time on
+        the measured bench.  Restarting the stragglers on a narrow batch
+        costs a re-run of their events at ~1/8 the step price."""
+        if self._drain_mapper is None:
+            Bd = max(16, self.eng.params.B // 8)
+            self._drain_mapper = BatchMapper(
+                self.fmi, self.model, self.threshes, self.conf,
+                emit_timing=self.emit_timing, _rung=self._rung,
+                **{**self._over, "B": Bd},
+            )
+        return self._drain_mapper
 
     def _rung_fits(self, rung_i: int, why: int, dm) -> bool:
         """Could ladder rung ``rung_i`` hold a read whose overflow
@@ -249,8 +267,10 @@ class BatchMapper:
         state = self.eng.fresh_state()
         pending = 0
 
+        input_done = False
+
         def refill(state):
-            nonlocal pending
+            nonlocal pending, input_done
             mask = np.zeros(B, bool)
             incoming = []
             for b in range(B):
@@ -258,6 +278,7 @@ class BatchMapper:
                     try:
                         incoming.append((b, next(it)))
                     except StopIteration:
+                        input_done = True
                         break
             if not incoming:
                 return state
@@ -278,9 +299,18 @@ class BatchMapper:
             and self._rung < len(self.conf.engine.remap_ladder)
         )
         overflowed = []
+        drained = []
+        can_drain = self.conf.engine.drain_shrink and B >= 64
 
         state = refill(state)
         while pending:
+            if can_drain and input_done and pending <= max(8, B // 8):
+                # straggler drain: restart the few remaining reads on a
+                # B/8-wide mapper instead of paying full-width steps
+                drained = [s.read for s in slots if s is not None]
+                slots = [None] * B
+                pending = 0
+                break
             means = np.zeros((B, T), np.float32)
             on = np.zeros((B, T), bool)
             for b, s in enumerate(slots):
@@ -320,6 +350,9 @@ class BatchMapper:
                     slots[b] = None
                     pending -= 1
             state = refill(state)
+
+        if drained:
+            yield from self._get_drain().map_reads(drained)
 
         if overflowed:
             # remap pass: reads that tripped a budget rerun on a wider
