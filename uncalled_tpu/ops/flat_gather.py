@@ -67,7 +67,7 @@ def _pick_shape(n: int, f: int):
 
 
 def _kernel(t_ref, i_ref, o_ref, a_ref, m_ref, *, H1, H2, F, KC):
-    """t_ref: [H1, H2*F] i32 (resident); i_ref: [1, KC] i32 preclamped;
+    """t_ref: [H1, H2*F] i32 (resident); i_ref: [KC] i32 preclamped;
     o_ref: [F, KC] i32 accumulated over the 4 plane steps;
     a_ref: [KC, H1] i8 scratch (level-1 one-hot);
     m_ref: [KC, H2*F] i8 scratch (level-2 position mask)."""
@@ -79,7 +79,7 @@ def _kernel(t_ref, i_ref, o_ref, a_ref, m_ref, *, H1, H2, F, KC):
 
     @pl.when(s == 0)
     def _build():
-        idx = i_ref[0, :]
+        idx = i_ref[...]
         hi = jax.lax.div(idx, np.int32(H2))
         lo = idx - hi * np.int32(H2)
         a_ref[...] = (
@@ -145,7 +145,7 @@ def _gather_i32(tbl, idx):
         grid=(Kp // KC, 4),
         in_specs=[
             pl.BlockSpec((H1, H2 * F), lambda j, s: (Z, Z)),
-            pl.BlockSpec((1, KC), lambda j, s: (j, Z)),
+            pl.BlockSpec((KC,), lambda j, s: (j,)),
         ],
         out_specs=pl.BlockSpec((F, KC), lambda j, s: (Z, j)),
         out_shape=jax.ShapeDtypeStruct((F, Kp), jnp.int32),
@@ -154,7 +154,7 @@ def _gather_i32(tbl, idx):
             pltpu.VMEM((KC, H2 * F), jnp.int8),
         ],
         interpret=_INTERPRET,
-    )(t2, idx.reshape(Kp // KC, KC))
+    )(t2, idx)
     return out[:, :K]
 
 
