@@ -38,8 +38,15 @@ _INTERPRET = bool(int(os.environ.get("UNCALLED_MXU_INTERPRET", "0")))
 
 _PLANE_BIAS = np.int32(-0x7F7F7F80)
 
-# beyond this the resident [H1, H2*F] i32 table block outgrows VMEM
-N_FLAT_MAX = 1 << 20
+_H1_MAX = 1024  # [KC, H1] one-hot build VMEM bound at KC=1024
+
+
+def fits(n: int, f: int = 1) -> bool:
+    """Can the kernel serve an [n, f]-shaped table? (VMEM-bounded:
+    H1 <= _H1_MAX at the fixed KC=1024 block; wide packs split to F<=4,
+    so only the per-chunk width matters.)"""
+    h1, _ = _pick_shape(n, min(max(f, 1), F_MAX))
+    return h1 <= _H1_MAX
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -57,11 +64,17 @@ def _use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
+# per-call field cap: wider packs split into F<=4 sub-gathers so the
+# [KC, H2*F] working set stays within scoped VMEM at the KC=1024 block
+# the XLA 1D-i32 tiling demands (Mosaic layout T(1024))
+F_MAX = 4
+
+
 def _pick_shape(n: int, f: int):
-    """Factor n -> (H1, H2) minimizing VPU work H1 + H2*F with H2*F a
-    lane multiple and H1 a sublane multiple."""
-    h2 = max(128 // f, int(np.sqrt(max(n // max(f, 1), 1))))
-    h2 = max(8, _round_up(h2, max(128 // f, 8)))
+    """Factor n -> (H1, H2) with H2*F ~ 512 lanes: the [KC, H2*F] dot
+    output / mask / bf16 intermediates (~11 bytes/lane-elem at KC=1024)
+    plus the [KC, H1] one-hot build (~5 bytes) must fit scoped VMEM."""
+    h2 = max(8, _round_up(512 // f, 8))
     h1 = max(8, _round_up(_cdiv(n, h2), 8))
     return h1, h2
 
@@ -126,9 +139,19 @@ def _gather_i32(tbl, idx):
     from jax.experimental.pallas import tpu as pltpu
 
     N, F = tbl.shape
+    if F > F_MAX:
+        # split wide packs column-wise; each sub-call reuses the same
+        # index vector (the one-hot rebuild is the per-call cost)
+        outs = [
+            _gather_i32(tbl[:, i : i + F_MAX], idx)
+            for i in range(0, F, F_MAX)
+        ]
+        import jax.numpy as _jnp
+
+        return _jnp.concatenate(outs, axis=0)
     K = idx.shape[0]
     H1, H2 = _pick_shape(N, F)
-    KC = 512 if H1 * H2 * F >= 1 << 16 else 1024
+    KC = 1024  # 1D i32 operands carry XLA layout T(1024)
     Kp = _round_up(max(K, KC), KC)
 
     idx = jnp.maximum(jnp.minimum(idx.astype(jnp.int32), np.int32(N - 1)), np.int32(0))
@@ -163,14 +186,16 @@ def flat_gather(tbl, idx, force=None):
 
     tbl [N] or [N, F] in any 32-bit dtype; idx any integer shape
     (flattened internally).  Bit-exact; out-of-range indices clamp.
-    Uses the two-level MXU kernel on TPU for N <= N_FLAT_MAX, XLA take
-    elsewhere.
+    Uses the two-level MXU kernel on TPU while :func:`fits` holds, XLA
+    take elsewhere.
     """
     import jax.numpy as jnp
 
     from .mxu_gather import _from_i32, _to_i32
 
-    use = (_use_pallas() if force is None else force) and tbl.shape[0] <= N_FLAT_MAX
+    use = (_use_pallas() if force is None else force) and fits(
+        tbl.shape[0], 1 if tbl.ndim == 1 else tbl.shape[1]
+    )
     kshape = idx.shape
     if not use:
         ix = jnp.clip(idx, 0, tbl.shape[0] - 1)
@@ -190,7 +215,9 @@ def flat_gather_fields(tbl, idx, force=None):
     flat [K...] slices (fields-major kernel layout, no relayout)."""
     import jax.numpy as jnp
 
-    use = (_use_pallas() if force is None else force) and tbl.shape[0] <= N_FLAT_MAX
+    use = (_use_pallas() if force is None else force) and fits(
+        tbl.shape[0], tbl.shape[1]
+    )
     kshape = idx.shape
     if not use:
         ix = jnp.clip(idx, 0, tbl.shape[0] - 1)
