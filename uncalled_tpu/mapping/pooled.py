@@ -210,12 +210,14 @@ def _sort1d(keys, payloads=(), num_keys=None):
 
 
 def _flat_take(tbl, idx, mxu):
-    """Flat shared-table gather, MXU-routed when enabled (bit-exact)."""
+    """Flat shared-table gather.  With ``mxu`` the two-level MXU kernel
+    serves it WHEN PROFITABLE (4-plane MAC cost vs XLA's ~10.5 ns/idx:
+    flat_gather.profitable); bit-exact either way."""
     jnp = _jnp()
     if mxu:
         from ..ops.flat_gather import flat_gather
 
-        return flat_gather(tbl, idx, force=True)
+        return flat_gather(tbl, idx)
     ix = jnp.clip(idx, np.int32(0), np.int32(tbl.shape[0] - 1))
     return jnp.take(tbl, ix, axis=0)
 
@@ -243,7 +245,7 @@ def _flat_pack(fields, idx, mxu):
     if mxu:
         from ..ops.flat_gather import flat_gather_fields
 
-        gcols = flat_gather_fields(packed, idx, force=True)
+        gcols = flat_gather_fields(packed, idx)
     else:
         ix = jnp.clip(idx, np.int32(0), np.int32(packed.shape[0] - 1))
         g = jnp.take(packed, ix, axis=0)
@@ -325,13 +327,17 @@ def _pool_event_step(idx, p: PoolParams, st, ev, ev_on):
     rid = st["q_rid"]  # [S], B = dead
     ridc = jnp.minimum(rid, np.int32(B - 1))
     owned = rid < B
-    slot_alive = owned & _flat_take(alive, ridc, p.mxu) & (st["q_total"] > 0)
 
     # per-read segment boundaries in SLOT space (reads own contiguous
     # segments by the assembly invariant)
     off = jnp.concatenate(
         [jnp.zeros((1,), i32), jnp.cumsum(st["n_paths"], dtype=i32)]
     )  # [B+1]
+    # one slot-space broadcast serves all step-start read scalars
+    al_slot, run_slot, off_slot = _flat_pack(
+        [alive, alive | st["done"], off[:-1]], ridc, p.mxu
+    )
+    slot_alive = owned & al_slot & (st["q_total"] > 0)
 
     # ---- candidate flags in creation order -------------------------------
     pv = slot_alive
@@ -444,20 +450,20 @@ def _pool_event_step(idx, p: PoolParams, st, ev, ev_on):
     nxt_rid = jnp.concatenate([rid[1:], jnp.full((1,), B, i32)])
     is_last = nxt_rid != rid
     k_next = jnp.concatenate([k_i[1:], (pos[-1] + flat[-1])[None]])
-    seg_end_c = _flat_take(cb[1:], ridc, p.mxu)  # read's candidate end
+    # one slot-space broadcast for the candidate-segment scalars
+    seg_end_c, tot_valid_slot = _flat_pack([cb[1:], n_valid_r], ridc, p.mxu)
     k_next = jnp.where(is_last, seg_end_c, k_next)
     wv_pad = jnp.concatenate([wvalid, jnp.zeros((1,), i32)])
-    tot_valid_slot = _flat_take(n_valid_r, ridc, p.mxu)  # [S]
 
     # within-read valid count at a global candidate position (clamped to
-    # the read's own segment end => its valid total)
-    def wv_at(kpos):
-        inseg = (kpos < seg_end_c) & (kpos < SC)
-        v = _flat_take(wv_pad, jnp.minimum(kpos, np.int32(SC)), p.mxu)
-        return jnp.where(inseg, v, tot_valid_slot)
-
-    vb = wv_at(k_i)
-    vb_next = wv_at(k_next)
+    # the read's own segment end => its valid total), both probe points
+    # through ONE gather
+    kpos2 = jnp.concatenate([k_i, k_next])
+    v2 = _flat_take(wv_pad, jnp.minimum(kpos2, np.int32(SC)), p.mxu)
+    inseg2 = (kpos2 < jnp.concatenate([seg_end_c, seg_end_c])) & (kpos2 < SC)
+    tv2 = jnp.concatenate([tot_valid_slot, tot_valid_slot])
+    wv2 = jnp.where(inseg2, v2, tv2)
+    vb, vb_next = wv2[:S], wv2[S:]
     child_any = jnp.minimum(vb_next, np.int32(PC)) > jnp.minimum(vb, np.int32(PC))
     reached = (k_i < SC) & (vb < PC)
     pmc = jax.lax.population_count(st["q_moves"]).astype(i32)
@@ -637,8 +643,7 @@ def _pool_event_step(idx, p: PoolParams, st, ev, ev_on):
     )
     run_end = run_end[0]
 
-    km_st = _flat_take(idx["kmer_st"], nk_s, p.mxu)
-    km_en = _flat_take(idx["kmer_en"], nk_s, p.mxu)
+    km_st, km_en = _flat_pack([idx["kmer_st"], idx["kmer_en"]], nk_s, p.mxu)
     head_st = km_st
     head_en = ns_s - 1
     head_v = first_seg & kpass & (head_st <= head_en)
@@ -707,9 +712,8 @@ def _pool_event_step(idx, p: PoolParams, st, ev, ev_on):
     # carried slots: owned reads that are NOT advancing this step (block
     # padding: on[b, t] false but more events coming) keep their paths
     # unchanged; done reads' paths are dropped (decision already made)
-    not_running = ~_flat_take(alive | st["done"], ridc, p.mxu)
-    carried = owned & not_running & (st["q_total"] > 0)
-    ord_car = slot_i - _flat_take(off[:-1], ridc, p.mxu)
+    carried = owned & (~run_slot) & (st["q_total"] > 0)
+    ord_car = slot_i - off_slot
 
     # merge the four classes: sort by (rid, ord), keep the first S
     A_rid = jnp.where(child_keep, rks, np.int32(B))
@@ -765,10 +769,13 @@ def _pool_event_step(idx, p: PoolParams, st, ev, ev_on):
     h_en = jnp.where(is_gap, h_gen, h_hen)
 
     # class F (full): kmer-derived fields
-    fkm = _flat_take(f_kmer.reshape(B * FS), idx_F, p.mxu)
-    f_st = _flat_take(idx["kmer_st"], fkm, p.mxu)
-    f_en = _flat_take(idx["kmer_en"], fkm, p.mxu)
-    f_rid_g = jnp.minimum(_flat_take(f_rid, idx_F, p.mxu), np.int32(B - 1))
+    fkm, f_rid_raw = _flat_pack(
+        [f_kmer.reshape(B * FS), f_rid], idx_F, p.mxu
+    )
+    f_st, f_en = _flat_pack(
+        [idx["kmer_st"], idx["kmer_en"]], fkm, p.mxu
+    )
+    f_rid_g = jnp.minimum(f_rid_raw, np.int32(B - 1))
     f_prob = lane(
         _flat_take(tbl4, f_rid_g * np.int32(TR) + (fkm >> 2), p.mxu),
         fkm & 3,
@@ -794,10 +801,12 @@ def _pool_event_step(idx, p: PoolParams, st, ev, ev_on):
     nq_sa = keep & sel(a_sa, z_s > 0, z_s > 0, d_sa)
 
     # ring: children copy the parent ring (new slot written); sources get
-    # slot 1 = prob; carried slots copy their own ring
+    # slot 1 = prob; carried slots copy their own ring.  XLA row gather:
+    # width rides ~free at ~10.5 ns/idx, cheaper than 6 F<=4 MXU calls
+    # for a 23-wide f32 row.
     ring_src = jnp.where(cls_A, a_par, jnp.where(cls_D, idx_D, np.int32(0)))
     ring_rows = _flat_take(
-        st["q_cum"], jnp.minimum(ring_src, np.int32(S - 1)), p.mxu
+        st["q_cum"], jnp.minimum(ring_src, np.int32(S - 1)), False
     )  # [S, RING] f32
     ring_iota = jax.lax.broadcasted_iota(i32, (S, RING), 1)
     child_ring = jnp.where(

@@ -38,15 +38,41 @@ _INTERPRET = bool(int(os.environ.get("UNCALLED_MXU_INTERPRET", "0")))
 
 _PLANE_BIAS = np.int32(-0x7F7F7F80)
 
-_H1_MAX = 1024  # [KC, H1] one-hot build VMEM bound at KC=1024
+_VMEM_BUDGET = 11_500_000  # scoped-vmem headroom for the working set
+
+
+def _pick(n: int, f: int):
+    """(KC, H1, H2) for an [n, f]-chunk, or None if it cannot fit.
+
+    KC must be a multiple of 1024 (XLA tiles 1D i32 operands T(1024));
+    prefer KC=2048 (halves the ~0.6us/grid-step overhead) with a smaller
+    H2*F lane block, falling back to KC=1024 when the [KC, H1] one-hot
+    build would blow scoped VMEM."""
+    for kc, target in ((2048, 384), (1024, 512)):
+        h2 = max(8, _round_up(max(target // f, 8), 8))
+        h1 = max(8, _round_up(_cdiv(n, h2), 8))
+        vmem = kc * (5 * h1 + 11 * h2 * f) + 4 * h1 * h2 * f
+        if vmem <= _VMEM_BUDGET:
+            return kc, h1, h2
+    return None
 
 
 def fits(n: int, f: int = 1) -> bool:
-    """Can the kernel serve an [n, f]-shaped table? (VMEM-bounded:
-    H1 <= _H1_MAX at the fixed KC=1024 block; wide packs split to F<=4,
-    so only the per-chunk width matters.)"""
-    h1, _ = _pick_shape(n, min(max(f, 1), F_MAX))
-    return h1 <= _H1_MAX
+    """Can the kernel serve an [n, f]-shaped table? (wide packs split to
+    F<=4 chunks, so only the per-chunk width matters)"""
+    return _pick(n, min(max(f, 1), F_MAX)) is not None
+
+
+# Break-even vs the XLA gather: the kernel spends 4 byte-planes x N x F
+# MACs per index (4e14 MACs/s) while XLA's row gather costs ~10.5 ns
+# per index REGARDLESS of row width — so the MXU only wins for small
+# N*F (one-hot builds stay cheap); wide pool-sized field packs belong
+# on the XLA path.
+NF_PROFITABLE = 700_000
+
+
+def profitable(n: int, f: int = 1) -> bool:
+    return n * max(f, 1) <= NF_PROFITABLE and fits(n, f)
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -65,18 +91,9 @@ def _use_pallas() -> bool:
 
 
 # per-call field cap: wider packs split into F<=4 sub-gathers so the
-# [KC, H2*F] working set stays within scoped VMEM at the KC=1024 block
-# the XLA 1D-i32 tiling demands (Mosaic layout T(1024))
+# [KC, H2*F] working set stays within scoped VMEM at the 1024-multiple
+# KC blocks the XLA 1D-i32 tiling demands (Mosaic layout T(1024))
 F_MAX = 4
-
-
-def _pick_shape(n: int, f: int):
-    """Factor n -> (H1, H2) with H2*F ~ 512 lanes: the [KC, H2*F] dot
-    output / mask / bf16 intermediates (~11 bytes/lane-elem at KC=1024)
-    plus the [KC, H1] one-hot build (~5 bytes) must fit scoped VMEM."""
-    h2 = max(8, _round_up(512 // f, 8))
-    h1 = max(8, _round_up(_cdiv(n, h2), 8))
-    return h1, h2
 
 
 def _kernel(t_ref, i_ref, o_ref, a_ref, m_ref, *, H1, H2, F, KC):
@@ -150,8 +167,7 @@ def _gather_i32(tbl, idx):
 
         return _jnp.concatenate(outs, axis=0)
     K = idx.shape[0]
-    H1, H2 = _pick_shape(N, F)
-    KC = 1024  # 1D i32 operands carry XLA layout T(1024)
+    KC, H1, H2 = _pick(N, F)
     Kp = _round_up(max(K, KC), KC)
 
     idx = jnp.maximum(jnp.minimum(idx.astype(jnp.int32), np.int32(N - 1)), np.int32(0))
@@ -193,9 +209,11 @@ def flat_gather(tbl, idx, force=None):
 
     from .mxu_gather import _from_i32, _to_i32
 
-    use = (_use_pallas() if force is None else force) and fits(
-        tbl.shape[0], 1 if tbl.ndim == 1 else tbl.shape[1]
-    )
+    f_ = 1 if tbl.ndim == 1 else tbl.shape[1]
+    use = (
+        force if force is not None
+        else _use_pallas() and profitable(tbl.shape[0], f_)
+    ) and fits(tbl.shape[0], f_)
     kshape = idx.shape
     if not use:
         ix = jnp.clip(idx, 0, tbl.shape[0] - 1)
@@ -215,9 +233,10 @@ def flat_gather_fields(tbl, idx, force=None):
     flat [K...] slices (fields-major kernel layout, no relayout)."""
     import jax.numpy as jnp
 
-    use = (_use_pallas() if force is None else force) and fits(
-        tbl.shape[0], tbl.shape[1]
-    )
+    use = (
+        force if force is not None
+        else _use_pallas() and profitable(tbl.shape[0], tbl.shape[1])
+    ) and fits(tbl.shape[0], tbl.shape[1])
     kshape = idx.shape
     if not use:
         ix = jnp.clip(idx, 0, tbl.shape[0] - 1)
