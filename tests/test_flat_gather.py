@@ -58,3 +58,24 @@ def test_flat_gather_fields_and_shapes():
     for f, c in enumerate(cols):
         assert c.shape == (16, 33)
         assert np.array_equal(np.asarray(c), tbl[idx, f])
+
+
+def test_pair_counts_interpret():
+    import jax.numpy as jnp
+
+    from uncalled_tpu.ops import flat_gather as FG
+
+    rng = np.random.default_rng(3)
+    k = 5000
+    a = rng.integers(-2, 19, (k,)).astype(np.int32)  # some out of domain
+    b = rng.integers(0, 1030, (k,)).astype(np.int32)
+    na, nb = 17, 1024
+    want = np.zeros((na, nb), np.int32)
+    for x, y in zip(a, b):
+        if 0 <= x < na and 0 <= y < nb:
+            want[x, y] += 1
+    got = np.asarray(FG.pair_counts(jnp.asarray(a), jnp.asarray(b), na, nb, force=True))
+    assert np.array_equal(got, want)
+    # XLA fallback agrees
+    got2 = np.asarray(FG.pair_counts(jnp.asarray(a), jnp.asarray(b), na, nb, force=False))
+    assert np.array_equal(got2, want)

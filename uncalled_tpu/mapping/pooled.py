@@ -262,17 +262,42 @@ def _flat_pack(fields, idx, mxu):
 
 
 def _compact1d(valid, w_out):
-    """Stable flat compaction indices: src[j] = index of the j-th True."""
+    """Stable flat compaction indices: src[j] = index of the j-th True.
+
+    Two-level: a [1, N] lax.sort has no row parallelism on TPU (only the
+    lane dimension vectorizes, and the bitonic depth grows log^2 N), so
+    compact [G, C] row chunks with a row-parallel 2D sort, then place
+    each row's run at its global offset (compare-count + one gather)."""
     import jax
 
     jnp = _jnp()
+    i32 = jnp.int32
     N = valid.shape[0]
-    iota = jax.lax.iota(jnp.int32, N)
-    key = jnp.where(valid, iota, np.int32(N))
-    (skey,) = _sort1d((key,))
-    skey = skey[:w_out]
-    ok = skey < N
-    return jnp.minimum(skey, np.int32(N - 1)), ok
+    C = 1280
+    G = _cdiv_int(N, C)
+    Np = G * C
+    v2 = jnp.pad(valid, (0, Np - N)).reshape(G, C)
+    in_row = jax.lax.broadcasted_iota(i32, (G, C), 1)
+    skey = jax.lax.sort(jnp.where(v2, in_row, np.int32(C)), dimension=1)
+    cnt = jnp.sum(v2, axis=1, dtype=i32)  # [G]
+    start = jnp.cumsum(cnt, dtype=i32) - cnt
+    total = start[-1] + cnt[-1]
+    j = jax.lax.iota(i32, w_out)
+    # row of output slot j: last g with start[g] <= j (rows are disjoint)
+    r = jnp.sum((start[None, :] <= j[:, None]).astype(i32), axis=1, dtype=i32) - 1
+    r = jnp.clip(r, np.int32(0), np.int32(G - 1))
+    within = j - _flat_take(start, r, True)
+    src_in_row = _flat_take(
+        skey.reshape(Np), r * np.int32(C) + jnp.minimum(within, np.int32(C - 1)),
+        True,
+    )
+    src = r * np.int32(C) + jnp.minimum(src_in_row, np.int32(C - 1))
+    ok = j < total
+    return jnp.minimum(src, np.int32(N - 1)), ok
+
+
+def _cdiv_int(a: int, b: int) -> int:
+    return -(-a // b)
 
 
 def _seg_base(cum, boundaries, rid, mxu):
@@ -428,6 +453,15 @@ def _pool_event_step(idx, p: PoolParams, st, ev, ev_on):
     wvalid = vcum - _flat_take(vbase_b[:-1], crid_g, p.mxu)
     cvalid = cv_fm & (wvalid < PC)
     n_valid_r = vbase_b[1:] - vbase_b[:-1]  # per-read FM-valid totals
+    # read boundaries in SORTED-candidate space: the sort is keyed by
+    # (rid if cvalid else B, ...), so read b's sorted segment starts at
+    # the number of budget-kept valid candidates before it — NOT at the
+    # flag-space boundary cb (a global sort forgives constant within-read
+    # shifts; absolute position arithmetic does not)
+    ccum2 = jnp.cumsum(cvalid, dtype=i32) - cvalid
+    ccum2_pad = jnp.concatenate([ccum2, (ccum2[-1] + cvalid[-1])[None]])
+    svb = _flat_take(ccum2_pad, cb_c, False)  # [B+1]
+    svb_c = jnp.minimum(svb, np.int32(SC))
 
     prob = lane(
         _flat_take(tbl4, jnp.minimum(crid_g, B - 1) * np.int32(TR) + (nk >> 2), p.mxu),
@@ -535,34 +569,62 @@ def _pool_event_step(idx, p: PoolParams, st, ev, ev_on):
     RE = min(p.RE, S + SC)
     RT = min(p.RT, RE * MRC0)
     R = p.R
+    # two rid-contiguous streams (ended entries in pool order, candidate
+    # seeds in sorted order; ended-before-candidates per read) merge by
+    # position arithmetic — no flat sort
     ent_valid = jnp.concatenate([e_rows > 0, seed_c])
-    ent_rid = jnp.concatenate([rid, rid_s])
-    ent_rid = jnp.where(ent_valid, ent_rid, np.int32(B))
-    ent_order = jnp.concatenate(
-        [slot_i, np.int32(S) + iota_c]
-    )  # ended (pool order) before candidates (sorted order) per read:
-    # pool slots and candidates both rid-contiguous; S offset keeps
-    # candidate entries after ended entries within a read
     ent_rows_all = jnp.concatenate([e_rows, seed_c.astype(i32)])
     ent_st_all = jnp.concatenate([st["q_start"], ns_s])
     ent_mc_all = jnp.concatenate([pmc, smc])
     ent_ended = jnp.concatenate(
         [jnp.ones((S,), bool), jnp.zeros((SC,), bool)]
     )
-    ekey_r, ekey_o, eperm = _sort1d(
-        (ent_rid, ent_order), (jax.lax.iota(i32, S + SC),), num_keys=2
+    endv = e_rows > 0
+    endcum = jnp.cumsum(endv, dtype=i32) - endv
+    endcum_pad = jnp.concatenate([endcum, (endcum[-1] + endv[-1])[None]])
+    end_b = _flat_take(endcum_pad, jnp.minimum(off, np.int32(S)), False)
+    ended_r = end_b[1:] - end_b[:-1]
+    sdv = seed_c
+    sdcum = jnp.cumsum(sdv, dtype=i32) - sdv
+    sdcum_pad = jnp.concatenate([sdcum, (sdcum[-1] + sdv[-1])[None]])
+    sd_b = _flat_take(sdcum_pad, svb_c, False)
+    seeds_r = sd_b[1:] - sd_b[:-1]
+    want_ent = ended_r + seeds_r
+    off_ent = jnp.concatenate(
+        [jnp.zeros((1,), i32), jnp.cumsum(want_ent, dtype=i32)]
     )
-    e_ok = (ekey_r < B) & (jax.lax.iota(i32, S + SC) < RE)
-    eperm = eperm[:RE]
-    e_ok = e_ok[:RE]
+    n_ent = off_ent[-1]
+    rows_cut_global = n_ent > RE
+    endc_src, _ = _compact1d(endv, RE)
+    sdc_src, _ = _compact1d(sdv, RE)
+
+    e_j = jax.lax.iota(i32, RE)
+    e_b = jnp.sum(
+        (off_ent[None, :-1] <= e_j[:, None]).astype(i32), axis=1, dtype=i32
+    ) - 1
+    e_b = jnp.clip(e_b, np.int32(0), np.int32(B - 1))
+    e_ok = e_j < jnp.minimum(n_ent, np.int32(RE))
+    eb_off, eb_end, eb_endst, eb_sdst = _flat_pack(
+        [off_ent[:-1], ended_r, end_b[:-1], sd_b[:-1]], e_b, p.mxu
+    )
+    e_r = e_j - eb_off
+    e_is_end = e_r < eb_end
+    src_end = _flat_take(
+        endc_src, jnp.clip(eb_endst + e_r, np.int32(0), np.int32(RE - 1)),
+        p.mxu,
+    )
+    src_sd = _flat_take(
+        sdc_src,
+        jnp.clip(eb_sdst + (e_r - eb_end), np.int32(0), np.int32(RE - 1)),
+        p.mxu,
+    )
+    eperm = jnp.where(e_is_end, src_end, np.int32(S) + src_sd)
+    eperm = jnp.clip(eperm, np.int32(0), np.int32(S + SC - 1))
     g_rows, g_st, g_mc, g_end = _flat_pack(
         [ent_rows_all, ent_st_all, ent_mc_all, ent_ended], eperm, p.mxu
     )
-    g_rid = jnp.minimum(ekey_r[:RE], np.int32(B - 1))
+    g_rid = e_b
     g_rows = jnp.where(e_ok, g_rows, 0)
-    # cut diagnostics: any row-bearing entry beyond RE
-    n_ent = jnp.sum(ent_valid.astype(i32), dtype=i32)
-    rows_cut_global = n_ent > RE
 
     # expand entries -> rows ([RE, MRC] grid, compact to RT)
     MRC = p.max_rep_copy
@@ -653,9 +715,17 @@ def _pool_event_step(idx, p: PoolParams, st, ev, ev_on):
     gap_en = jnp.where(nxt_same, nxt1(ns_s, 0) - 1, km_en)
     gap_v = svalid & (~dup) & kpass & (gap_st <= gap_en)
 
-    present = _member_flat(
-        rid_s * np.int32(KMER_COUNT) + nk_s, svalid, B * KMER_COUNT
-    ).reshape(B, KMER_COUNT)
+    # k-mer presence per read: an MXU one-hot pair count beats the
+    # sort-based membership bitmap by ~an order of magnitude here
+    from ..ops.flat_gather import pair_counts
+
+    present = (
+        pair_counts(
+            jnp.where(svalid, rid_s, np.int32(B)), nk_s, B, KMER_COUNT,
+            force=(None if p.mxu else False),
+        )
+        > 0
+    )
     full_v = (
         (~present)
         & (probs >= source_prob)
@@ -670,82 +740,104 @@ def _pool_event_step(idx, p: PoolParams, st, ev, ev_on):
     #             interleaved by candidate, then full by k-mer)
     child_keep = svalid & (~dup)
     ckcum = jnp.cumsum(child_keep, dtype=i32) - child_keep
-    # per-read candidate starts in SORTED space == cb (same counts)
-    ck_base = _seg_base(
-        jnp.concatenate([ckcum, (ckcum[-1] + child_keep[-1])[None]]),
-        cb_c, rid_s, p.mxu,
-    )
     # n_cands per read INCLUDES dups (the reference's budget_left counts
     # all sorted candidates, mapper.cpp:544-624) = per-read cvalid count
     nc_r = jnp.minimum(vbase_b[1:] - vbase_b[:-1], np.int32(PC))
 
     hg_v = jnp.stack([head_v, gap_v], axis=1).reshape(2 * SC)
-    hg_rid0 = jnp.stack([rid_s, rid_s], axis=1).reshape(2 * SC)
-    hg_rid = jnp.where(hg_v, hg_rid0, np.int32(B))
     hgcum = jnp.cumsum(hg_v, dtype=i32) - hg_v
     hgcum_pad = jnp.concatenate([hgcum, (hgcum[-1] + hg_v[-1])[None]])
-    hg_base = _seg_base(hgcum_pad, cb_c * 2, hg_rid0, p.mxu)
-    hg_end_b = _flat_take(hgcum_pad, cb_c * 2, False)  # [B+1]
+    hg_end_b = _flat_take(hgcum_pad, svb_c * 2, False)  # [B+1]
     n_hg_r = hg_end_b[1:] - hg_end_b[:-1]
-    ord_hg = (
-        _flat_take(nc_r, jnp.minimum(hg_rid0, B - 1), p.mxu)
-        + (hgcum - hg_base)
-    )
 
     # full sources: per-read 2D compaction to FS slots (kmer order kept)
     FS = p.FS
     iota_k = jax.lax.broadcasted_iota(i32, (B, KMER_COUNT), 1)
     fkey = jnp.where(full_v, iota_k, np.int32(KMER_COUNT))
     fkey_s = jax.lax.sort(fkey, dimension=1)[:, :FS]
-    f_ok = fkey_s < KMER_COUNT
     f_kmer = jnp.minimum(fkey_s, np.int32(KMER_COUNT - 1))
     n_full_r = jnp.sum(full_v.astype(i32), axis=1, dtype=i32)
     cut_full = n_full_r > FS
-    f_rid = jnp.where(
-        f_ok, jnp.broadcast_to(jnp.arange(B, dtype=i32)[:, None], (B, FS)), B
-    ).reshape(B * FS)
-    fpos = jax.lax.broadcasted_iota(i32, (B, FS), 1).reshape(B * FS)
-    ord_full = (
-        _flat_take(nc_r + n_hg_r, jnp.minimum(f_rid, B - 1), p.mxu) + fpos
-    )
 
     # carried slots: owned reads that are NOT advancing this step (block
     # padding: on[b, t] false but more events coming) keep their paths
     # unchanged; done reads' paths are dropped (decision already made)
     carried = owned & (~run_slot) & (st["q_total"] > 0)
-    ord_car = slot_i - off_slot
 
-    # merge the four classes: sort by (rid, ord), keep the first S
-    A_rid = jnp.where(child_keep, rks, np.int32(B))
-    ord_A = ckcum - ck_base
-    cat_rid = jnp.concatenate([
-        A_rid, hg_rid, f_rid, jnp.where(carried, rid, np.int32(B)),
-    ])
-    cat_ord = jnp.concatenate([
-        jnp.where(child_keep, ord_A, np.int32(0)),
-        jnp.where(hg_v, ord_hg, np.int32(0)),
-        jnp.where(f_ok.reshape(B * FS), ord_full, np.int32(0)),
-        jnp.where(carried, ord_car, np.int32(0)),
-    ])
-    # per-read budget: the reference's max_paths (sources stop there)
-    over_pc = cat_ord >= PC
-    cat_rid = jnp.where(over_pc, np.int32(B), cat_rid)
-    NCAT = SC + 2 * SC + B * FS + S
-    code = jax.lax.iota(i32, NCAT)
-    srid, sord, scode = _sort1d((cat_rid, cat_ord), (code,), num_keys=2)
-    srid, sord, scode = srid[:S], sord[:S], scode[:S]
-    keep = srid < B
-    new_rid = jnp.where(keep, srid, np.int32(B))
+    # merge the four classes WITHOUT a global sort: every stream is
+    # already rid-contiguous and within-read ordered, and the per-read
+    # creation-order ranges are disjoint (children < head/gap < full;
+    # carried reads have no new entries), so each output slot's source
+    # is pure position arithmetic on per-read stream counts.
+    # read boundaries in SORTED-candidate space: the sort is keyed by
+    # (rid if cvalid else B, ...), so read b's sorted segment starts at
+    # the number of budget-kept valid candidates before it — NOT at the
+    # flag-space boundary cb (the old global sort forgave any constant
+    # within-read shift; absolute position arithmetic does not)
+    ckcum_pad = jnp.concatenate([ckcum, (ckcum[-1] + child_keep[-1])[None]])
+    nd_b = _flat_take(ckcum_pad, svb_c, False)  # [B+1] nondup boundaries
+    nondup_r = nd_b[1:] - nd_b[:-1]
+    # the reference's budget_left counts CREATED sources (mapper.cpp:
+    # 544-624), so the per-read keeps chain: hg first, then full
+    hgk_r = jnp.minimum(n_hg_r, jnp.maximum(PC - nc_r, 0))
+    fk_r = jnp.minimum(
+        jnp.minimum(n_full_r, np.int32(FS)),
+        jnp.maximum(PC - nc_r - hgk_r, 0),
+    )
+    carried_r = jnp.sum(
+        (jnp.where(carried, rid, np.int32(B))[:, None]
+         == jnp.arange(B, dtype=i32)[None, :]).astype(i32),
+        axis=0, dtype=i32,
+    )
+    want_r = nondup_r + hgk_r + fk_r + carried_r
+    off_new = jnp.concatenate(
+        [jnp.zeros((1,), i32), jnp.cumsum(want_r, dtype=i32)]
+    )
+    total_keep = off_new[-1]
+    kept_r = jnp.minimum(
+        want_r, jnp.clip(np.int32(S) - off_new[:-1], np.int32(0), want_r)
+    )
+    cut_pool_r = kept_r != want_r
 
-    cls_A = scode < SC
-    cls_H = (scode >= SC) & (scode < 3 * SC)
-    cls_F = (scode >= 3 * SC) & (scode < 3 * SC + B * FS)
-    cls_D = scode >= 3 * SC + B * FS
-    idx_A = jnp.minimum(scode, np.int32(SC - 1))
-    idx_H = jnp.clip(scode - SC, np.int32(0), np.int32(2 * SC - 1))
-    idx_F = jnp.clip(scode - 3 * SC, np.int32(0), np.int32(B * FS - 1))
+    # compaction position -> source index maps for the two masked streams
+    ckc_src, _ = _compact1d(child_keep, SC)
+    hgc_src, _ = _compact1d(hg_v, 2 * SC)
+
+    j_out = jax.lax.iota(i32, S)
+    bj = jnp.sum(
+        (off_new[None, :-1] <= j_out[:, None]).astype(i32), axis=1, dtype=i32
+    ) - 1
+    bj = jnp.clip(bj, np.int32(0), np.int32(B - 1))
+    keep = j_out < jnp.minimum(total_keep, np.int32(S))
+    # per-slot read scalars in one broadcast
+    g_off, g_nd, g_hgk, g_fk, g_ckst, g_hgst, g_old = _flat_pack(
+        [off_new[:-1], nondup_r, hgk_r, fk_r, nd_b[:-1], hg_end_b[:-1],
+         off[:-1]],
+        bj, p.mxu,
+    )
+    r_in = j_out - g_off
+    cls_A = keep & (r_in < g_nd)
+    cls_H = keep & (~cls_A) & (r_in < g_nd + g_hgk)
+    cls_F = keep & (~cls_A) & (~cls_H) & (r_in < g_nd + g_hgk + g_fk)
+    cls_D = keep & (~cls_A) & (~cls_H) & (~cls_F)
+    new_rid = jnp.where(keep, bj, np.int32(B))
+
+    idx_A = _flat_take(
+        ckc_src,
+        jnp.clip(g_ckst + r_in, np.int32(0), np.int32(SC - 1)), p.mxu,
+    )
+    idx_H = _flat_take(
+        hgc_src,
+        jnp.clip(g_hgst + (r_in - g_nd), np.int32(0), np.int32(2 * SC - 1)),
+        p.mxu,
+    )
+    idx_H = jnp.clip(idx_H, np.int32(0), np.int32(2 * SC - 1))
+    idx_F = jnp.clip(
+        bj * np.int32(FS) + (r_in - g_nd - g_hgk),
+        np.int32(0), np.int32(B * FS - 1),
+    )
     idx_D = jnp.clip(
-        scode - (3 * SC + B * FS), np.int32(0), np.int32(S - 1)
+        g_old + (r_in - g_nd - g_hgk - g_fk), np.int32(0), np.int32(S - 1)
     )
 
     # class A (children): sorted-space fields + candidate-space (via perm)
@@ -768,14 +860,12 @@ def _pool_event_step(idx, p: PoolParams, st, ev, ev_on):
     h_st = jnp.where(is_gap, h_gst, h_hst)
     h_en = jnp.where(is_gap, h_gen, h_hen)
 
-    # class F (full): kmer-derived fields
-    fkm, f_rid_raw = _flat_pack(
-        [f_kmer.reshape(B * FS), f_rid], idx_F, p.mxu
-    )
+    # class F (full): kmer-derived fields (the owner read is bj directly)
+    fkm = _flat_take(f_kmer.reshape(B * FS), idx_F, p.mxu)
     f_st, f_en = _flat_pack(
         [idx["kmer_st"], idx["kmer_en"]], fkm, p.mxu
     )
-    f_rid_g = jnp.minimum(f_rid_raw, np.int32(B - 1))
+    f_rid_g = bj
     f_prob = lane(
         _flat_take(tbl4, f_rid_g * np.int32(TR) + (fkm >> 2), p.mxu),
         fkm & 3,
@@ -823,17 +913,6 @@ def _pool_event_step(idx, p: PoolParams, st, ev, ev_on):
         f32(0),
     ).astype(f32)
 
-    # per-read new occupancy, and pool-exhaustion cuts (wanted vs kept)
-    n_new = jnp.sum(
-        (new_rid[:, None] == jnp.arange(B, dtype=i32)[None, :]).astype(i32),
-        axis=0, dtype=i32,
-    )
-    n_want = jnp.sum(
-        (cat_rid[:, None] == jnp.arange(B, dtype=i32)[None, :]).astype(i32),
-        axis=0, dtype=i32,
-    )
-    cut_pool_r = n_want != n_new
-
     out = dict(st)
     new_pool = {
         "q_rid": new_rid,
@@ -848,7 +927,7 @@ def _pool_event_step(idx, p: PoolParams, st, ev, ev_on):
     }
     for k, v in new_pool.items():
         out[k] = v
-    out["n_paths"] = n_new
+    out["n_paths"] = kept_r
     for k, v in tstate.items():
         m = alive
         while m.ndim < v.ndim:
@@ -871,7 +950,7 @@ def _pool_event_step(idx, p: PoolParams, st, ev, ev_on):
     upd = lambda cur, v: jnp.maximum(cur, jnp.where(alive, v, np.int32(0)))
     out["dm_flags"] = upd(st["dm_flags"], n_flags_r)
     out["dm_valid"] = upd(st["dm_valid"], n_valid_r)
-    out["dm_paths"] = upd(st["dm_paths"], n_want)
+    out["dm_paths"] = upd(st["dm_paths"], want_r)
     out["dm_rows"] = upd(st["dm_rows"], rows_r)
 
     dec = _tracker_decide(p, out) & alive

@@ -244,3 +244,76 @@ def flat_gather_fields(tbl, idx, force=None):
         return [g[..., f] for f in range(tbl.shape[1])]
     out = _gather_i32(tbl, idx.reshape(-1))
     return [out[f].reshape(kshape) for f in range(out.shape[0])]
+
+
+def _count_kernel(a_ref, b_ref, o_ref, *, NA, NB, KC):
+    """o[i, j] += #{c in chunk: a[c] == i and b[c] == j} via one int8
+    one-hot MXU contraction per chunk."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    c = pl.program_id(0)
+
+    @pl.when(c == 0)
+    def _init():
+        o_ref[...] = jnp.zeros(o_ref.shape, jnp.int32)
+
+    a1h = (
+        a_ref[...][:, None]
+        == jax.lax.broadcasted_iota(jnp.int32, (KC, NA), 1)
+    ).astype(jnp.int8)
+    b1h = (
+        b_ref[...][:, None]
+        == jax.lax.broadcasted_iota(jnp.int32, (KC, NB), 1)
+    ).astype(jnp.int8)
+    o_ref[...] += jax.lax.dot_general(
+        a1h, b1h, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+
+def pair_counts(a, b, na: int, nb: int, force=None):
+    """``out[i, j] = #{c: a[c] == i and b[c] == j}`` for flat int32
+    key vectors (values outside [0, na) x [0, nb) are dropped).
+
+    One int8 one-hot MXU contraction per 1024-key chunk — the TPU
+    replacement for scatter-style bincounts and the sort-based
+    membership bitmap (present = pair_counts(...) > 0).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    K = a.shape[0]
+    if not (_use_pallas() if force is None else force):
+        # XLA fallback: one-hot matmul in f32 chunks (CPU/GPU testing)
+        av = jnp.where((a >= 0) & (a < na), a, na)
+        bv = jnp.where((b >= 0) & (b < nb), b, nb)
+        oh_a = jax.nn.one_hot(av, na + 1, dtype=jnp.float32)[:, :na]
+        oh_b = jax.nn.one_hot(bv, nb + 1, dtype=jnp.float32)[:, :nb]
+        return (oh_a.T @ oh_b).astype(jnp.int32)
+    KC = 1024
+    Kp = _round_up(max(K, KC), KC)
+    NAp, NBp = _round_up(na, 8), _round_up(nb, 128)
+    # out-of-domain keys -> padded rows/cols (sliced off afterwards);
+    # the one-hot build never fires for them when padding == domain size
+    pad_a = jnp.full((Kp - K,), np.int32(NAp), a.dtype)
+    av = jnp.concatenate([a.astype(jnp.int32), pad_a])
+    bv = jnp.concatenate([b.astype(jnp.int32), jnp.zeros((Kp - K,), jnp.int32)])
+    av = jnp.where((av >= 0) & (av < na), av, np.int32(NAp))
+    bv = jnp.where((bv >= 0) & (bv < nb), bv, np.int32(NBp))
+    Z = np.int32(0)
+    kern = functools.partial(_count_kernel, NA=NAp, NB=NBp, KC=KC)
+    out = pl.pallas_call(
+        kern,
+        grid=(Kp // KC,),
+        in_specs=[
+            pl.BlockSpec((KC,), lambda c: (c,)),
+            pl.BlockSpec((KC,), lambda c: (c,)),
+        ],
+        out_specs=pl.BlockSpec((NAp, NBp), lambda c: (Z, Z)),
+        out_shape=jax.ShapeDtypeStruct((NAp, NBp), jnp.int32),
+        interpret=_INTERPRET,
+    )(av, bv)
+    return out[:na, :nb]
