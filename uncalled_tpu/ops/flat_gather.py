@@ -64,10 +64,10 @@ def fits(n: int, f: int = 1) -> bool:
 
 
 # Break-even vs the XLA gather: the kernel spends 4 byte-planes x N x F
-# MACs per index (4e14 MACs/s) while XLA's row gather costs ~10.5 ns
-# per index REGARDLESS of row width — so the MXU only wins for small
-# N*F (one-hot builds stay cheap); wide pool-sized field packs belong
-# on the XLA path.
+# MACs per index (4e14 MACs/s) plus per-chunk one-hot rebuilds.
+# Measured on the pooled step (v5e): routing the wide pool packs
+# (N*F ~ 0.7-1M) to the MXU made the step WORSE (31.0 vs 27.9
+# ms/event), so the crossover sits near the original estimate.
 NF_PROFITABLE = 700_000
 
 
