@@ -300,7 +300,12 @@ class BatchMapper:
         )
         overflowed = []
         drained = []
-        can_drain = self.conf.engine.drain_shrink and B >= 64
+        # drain only at the entry rung: ladder rungs see few reads (their
+        # batches are already small) and a drain mapper is another
+        # compiled program per rung
+        can_drain = (
+            self.conf.engine.drain_shrink and B >= 64 and self._rung == 0
+        )
 
         state = refill(state)
         while pending:

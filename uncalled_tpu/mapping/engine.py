@@ -1252,6 +1252,10 @@ class MapEngine:
             return advance_block(self.idx, p, state, means, on)
 
         self._advance = jax.jit(_adv, donate_argnums=(0,))
+        # reset must be jitted: eagerly it dispatches ~30 table-sized ops
+        # per refill over the (remote) device link, and refills happen
+        # nearly every block while reads churn
+        self._reset = jax.jit(reset_rows, donate_argnums=(0,))
 
     def fresh_state(self):
         return make_state(self.params)
@@ -1259,7 +1263,7 @@ class MapEngine:
     def reset_slots(self, state, mask):
         import jax.numpy as jnp
 
-        return reset_rows(state, jnp.asarray(mask))
+        return self._reset(state, jnp.asarray(mask))
 
     def advance(self, state, means, on):
         import jax.numpy as jnp

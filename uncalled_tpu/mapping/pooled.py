@@ -994,6 +994,10 @@ class PooledEngine:
             return pool_advance_block(self.idx, p, state, means, on)
 
         self._advance = jax.jit(_adv, donate_argnums=(0,))
+        # reset must be jitted: eagerly it dispatches ~40 pool-sized ops
+        # per refill over the (remote) device link, and refills happen
+        # nearly every block while reads churn
+        self._reset = jax.jit(reset_pool_rows, donate_argnums=(0,))
 
     def fresh_state(self):
         return make_pool_state(self.params)
@@ -1001,7 +1005,7 @@ class PooledEngine:
     def reset_slots(self, state, mask):
         import jax.numpy as jnp
 
-        return reset_pool_rows(state, jnp.asarray(mask))
+        return self._reset(state, jnp.asarray(mask))
 
     def advance(self, state, means, on):
         import jax.numpy as jnp
