@@ -27,7 +27,7 @@ sys.path.insert(0, REPO)
 DATA = os.path.join(REPO, "bench_data")
 
 REF_BP = int(os.environ.get("BENCH_REF_BP", 4_700_000))
-N_READS = int(os.environ.get("BENCH_READS", 512))
+N_READS = int(os.environ.get("BENCH_READS", 1024))
 N_WARM = int(os.environ.get("BENCH_WARM", 8))
 BATCH = int(os.environ.get("BENCH_BATCH", 256))
 EVT_BLOCK = int(os.environ.get("BENCH_EVT_BLOCK", 32))
@@ -125,7 +125,7 @@ def main():
     # pooled engine (mapping/pooled.py): flat cross-batch path pool at
     # the reference's own per-read budget; the ladder only backstops
     # physical pool exhaustion
-    conf.engine.pooled = bool(int(os.environ.get("BENCH_POOLED", "0")))
+    conf.engine.pooled = bool(int(os.environ.get("BENCH_POOLED", "1")))
     conf.engine.pool_slots_per_read = int(
         os.environ.get("BENCH_POOL_SLOTS", 384)
     )
@@ -138,23 +138,33 @@ def main():
     for _ in bm.map_reads(reads[:N_WARM]):
         pass
     n_warm_rungs = int(
-        os.environ.get("BENCH_WARM_LADDER", "0" if conf.engine.pooled else "2")
+        os.environ.get("BENCH_WARM_LADDER", "1" if conf.engine.pooled else "2")
     )
-    # pre-compile the first N remap rungs so an overflowing read does not
-    # drop a cold compile into the timed region (compiles persist in the
-    # XLA cache, so this is one-time per machine); the deepest rung stays
-    # cold — reads that deep are vanishingly rare
-    m = bm
-    for _ in range(n_warm_rungs):
-        m = m._get_next()
+    # pre-compile every program the timed region can touch (advance AND
+    # slot-reset for the straggler-drain mapper and the first remap
+    # rungs) so no cold compile lands inside the timing; compiles persist
+    # in the XLA cache, so this is one-time per machine
+    import jax as _jax
+
+    def warm(m):
         st = m.eng.fresh_state()
+        st = m.eng.reset_slots(st, np.ones((m.eng.params.B,), bool))
         st = m.eng.advance(
             st,
             np.zeros((m.eng.params.B, m.T), np.float32),
             np.zeros((m.eng.params.B, m.T), bool),
         )
-        import jax as _jax
         _jax.block_until_ready(st["evt_i"])
+
+    if conf.engine.drain_shrink:
+        d = bm
+        while d.eng.params.B >= 64:  # the whole drain chain
+            d = d._get_drain()
+            warm(d)
+    m = bm
+    for _ in range(n_warm_rungs):
+        m = m._get_next()
+        warm(m)
 
     t0 = time.time()
     n_mapped = 0

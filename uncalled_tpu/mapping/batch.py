@@ -106,14 +106,16 @@ class BatchMapper:
         return self._next_mapper
 
     def _get_drain(self) -> "BatchMapper":
-        """Straggler-drain mapper: same budgets and ladder rung, B/8 read
+        """Straggler-drain mapper: same budgets and ladder rung, B/4 read
         slots.  Once the input queue is empty and few reads remain, the
         full-width batch pays its whole step cost for a near-empty slot
         array — the tail of long-deciding reads dominated wall time on
         the measured bench.  Restarting the stragglers on a narrow batch
-        costs a re-run of their events at ~1/8 the step price."""
+        costs a re-run of their events at ~1/4 the step price, and the
+        drain mapper CHAINS (256 -> 64 -> 16) so the tail shrinks
+        geometrically with the straggler count."""
         if self._drain_mapper is None:
-            Bd = max(16, self.eng.params.B // 8)
+            Bd = max(16, self.eng.params.B // 4)
             self._drain_mapper = BatchMapper(
                 self.fmi, self.model, self.threshes, self.conf,
                 emit_timing=self.emit_timing, _rung=self._rung,
@@ -309,7 +311,7 @@ class BatchMapper:
 
         state = refill(state)
         while pending:
-            if can_drain and input_done and pending <= max(8, B // 8):
+            if can_drain and input_done and pending <= max(8, B // 4):
                 # straggler drain: restart the few remaining reads on a
                 # B/8-wide mapper instead of paying full-width steps
                 drained = [s.read for s in slots if s is not None]
