@@ -137,9 +137,7 @@ def main():
     # warmup (includes compile)
     for _ in bm.map_reads(reads[:N_WARM]):
         pass
-    n_warm_rungs = int(
-        os.environ.get("BENCH_WARM_LADDER", "1" if conf.engine.pooled else "2")
-    )
+    n_warm_rungs = int(os.environ.get("BENCH_WARM_LADDER", "2"))
     # pre-compile every program the timed region can touch (advance AND
     # slot-reset for the straggler-drain mapper and the first remap
     # rungs) so no cold compile lands inside the timing; compiles persist
@@ -165,6 +163,55 @@ def main():
     for _ in range(n_warm_rungs):
         m = m._get_next()
         warm(m)
+
+    # per-mapper telemetry: blocks + advance wall per rung/drain, so a
+    # slow run explains itself (stderr + JSON extra)
+    import jax as _jx
+
+    tele = {}
+
+    def _patch(mp, tag):
+        oa = mp.eng.advance
+
+        def adv(state, means_, on_):
+            t0_ = time.time()
+            s = oa(state, means_, on_)
+            _jx.block_until_ready(s["evt_i"])
+            e = tele.setdefault(tag, [0, 0.0])
+            e[0] += 1
+            e[1] += time.time() - t0_
+            return s
+
+        mp.eng.advance = adv
+
+    _patch(bm, "rung0")
+    # mappers already built by the warm block
+    _d = bm
+    while _d._drain_mapper is not None:
+        _d = _d._drain_mapper
+        _patch(_d, f"drain_B{_d.eng.params.B}")
+    _m = bm
+    while _m._next_mapper is not None:
+        _m = _m._next_mapper
+        _patch(_m, f"rung{_m._rung}")
+    _og_drain = BatchMapper._get_drain
+    _og_next = BatchMapper._get_next
+
+    def _gd(self):
+        had = self._drain_mapper is not None
+        m = _og_drain(self)
+        if not had:
+            _patch(m, f"drain_B{m.eng.params.B}_r{self._rung}")
+        return m
+
+    def _gn(self):
+        had = self._next_mapper is not None
+        m = _og_next(self)
+        if not had:
+            _patch(m, f"rung{m._rung}")
+        return m
+
+    BatchMapper._get_drain, BatchMapper._get_next = _gd, _gn
 
     t0 = time.time()
     n_mapped = 0
@@ -244,6 +291,9 @@ def main():
                     "paths": PATHS,
                     "remapped": rungs[0] if rungs else 0,
                     "rung_ejects": rungs,
+                    "mapper_blocks": {
+                        k: [v[0], round(v[1], 1)] for k, v in tele.items()
+                    },
                     **({"rig_agree": rig_agree} if rig_agree is not None else {}),
                 },
             }

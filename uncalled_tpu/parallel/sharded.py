@@ -123,6 +123,11 @@ class ShardedMapEngine(MapEngine):
             ),
             donate_argnums=(0,),
         )
+        # jitted slot reset (MapEngine.reset_slots delegates to it); the
+        # dp-sharded state shardings propagate through the elementwise ops
+        from ..mapping.engine import reset_rows
+
+        self._reset = jax.jit(reset_rows, donate_argnums=(0,))
 
     def fresh_state(self):
         import jax
