@@ -30,6 +30,7 @@ cluster table — and the tracker/decision stages reuse engine.py's
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -199,6 +200,15 @@ def reset_pool_rows(state, mask):
 # flat-array helpers
 # ---------------------------------------------------------------------------
 
+# DEV-ONLY knockout profiling: UNCALLED_POOL_KNOCKOUT=sort,tracker,...
+# stubs the named stage with a shape-identical no-op so a loop-carried
+# timing run attributes step cost per stage.  Breaks mapping semantics —
+# never set outside profiling runs.  Stages: sort, tracker, compact,
+# occ, pairc, gathers (all _flat_take/_flat_pack), probs.
+_KNOCKOUT = frozenset(
+    os.environ.get("UNCALLED_POOL_KNOCKOUT", "").split(",")
+) - {""}
+
 
 def _sort1d(keys, payloads=(), num_keys=None):
     """lax.sort over flat arrays (shaped [1, N] for the TPU lowering)."""
@@ -214,6 +224,8 @@ def _flat_take(tbl, idx, mxu):
     serves it WHEN PROFITABLE (4-plane MAC cost vs XLA's ~10.5 ns/idx:
     flat_gather.profitable); bit-exact either way."""
     jnp = _jnp()
+    if "gathers" in _KNOCKOUT:
+        return jnp.broadcast_to(tbl[0], idx.shape + tbl.shape[1:])
     if mxu:
         from ..ops.flat_gather import flat_gather
 
@@ -230,6 +242,8 @@ def _flat_pack(fields, idx, mxu):
 
     jnp = _jnp()
     i32 = jnp.int32
+    if "gathers" in _KNOCKOUT:
+        return [jnp.broadcast_to(f[0], idx.shape) for f in fields]
     cols, kinds = [], []
     for f in fields:
         if f.dtype == jnp.float32:
@@ -261,18 +275,39 @@ def _flat_pack(fields, idx, mxu):
     return out
 
 
+def _bucket_of(starts, w_out):
+    """For sorted segment-start positions ``starts`` [G], the segment id
+    of each output slot j in [0, w_out): r[j] = (# starts <= j) - 1.
+
+    A histogram scatter (G elements, tiny) + one cumsum replaces the
+    [w_out, G] broadcast compare-sum — the broadcast was O(w_out * G)
+    VPU work (47M ops at the assembly shapes) for what is a monotone
+    step function."""
+    import jax
+
+    jnp = _jnp()
+    i32 = jnp.int32
+    sidx = jnp.where(starts < w_out, starts, np.int32(w_out))
+    hist = jnp.zeros((w_out + 1,), i32).at[sidx].add(np.int32(1))
+    return jnp.cumsum(hist[:w_out], dtype=i32) - 1
+
+
 def _compact1d(valid, w_out):
     """Stable flat compaction indices: src[j] = index of the j-th True.
 
     Two-level: a [1, N] lax.sort has no row parallelism on TPU (only the
     lane dimension vectorizes, and the bitonic depth grows log^2 N), so
     compact [G, C] row chunks with a row-parallel 2D sort, then place
-    each row's run at its global offset (compare-count + one gather)."""
+    each row's run at its global offset (step-function bucket + one
+    gather)."""
     import jax
 
     jnp = _jnp()
     i32 = jnp.int32
     N = valid.shape[0]
+    if "compact" in _KNOCKOUT:
+        j = jax.lax.iota(i32, w_out)
+        return jnp.minimum(j, np.int32(N - 1)), j < np.int32(N)
     C = 1280
     G = _cdiv_int(N, C)
     Np = G * C
@@ -284,8 +319,7 @@ def _compact1d(valid, w_out):
     total = start[-1] + cnt[-1]
     j = jax.lax.iota(i32, w_out)
     # row of output slot j: last g with start[g] <= j (rows are disjoint)
-    r = jnp.sum((start[None, :] <= j[:, None]).astype(i32), axis=1, dtype=i32) - 1
-    r = jnp.clip(r, np.int32(0), np.int32(G - 1))
+    r = jnp.clip(_bucket_of(start, w_out), np.int32(0), np.int32(G - 1))
     within = j - _flat_take(start, r, True)
     src_in_row = _flat_take(
         skey.reshape(Np), r * np.int32(C) + jnp.minimum(within, np.int32(C - 1)),
@@ -298,33 +332,6 @@ def _compact1d(valid, w_out):
 
 def _cdiv_int(a: int, b: int) -> int:
     return -(-a // b)
-
-
-def _seg_base(cum, boundaries, rid, mxu):
-    """Per-element within-segment value: cum[j] - cum[segment start of
-    rid[j]].  ``boundaries`` [B+1] are segment start positions into cum;
-    invalid rids (== B) read boundary B."""
-    jnp = _jnp()
-    base_b = _flat_take(cum, boundaries, mxu=False)  # [B+1] tiny
-    return _flat_take(base_b, rid, mxu)
-
-
-def _member_flat(keys, valid, n):
-    """Presence bitmap [n]: is id k among keys[valid]?  Two flat sorts
-    (engine._member generalized to one global key space)."""
-    import jax
-
-    jnp = _jnp()
-    i32 = jnp.int32
-    cand = jnp.where(valid, keys * 2, np.int32(2 * n))
-    sent = jax.lax.iota(i32, n) * 2 + 1
-    allk = jnp.concatenate([cand.astype(i32), sent])
-    (sk,) = _sort1d((allk,))
-    prev = jnp.concatenate([jnp.full((1,), -1, i32), sk[:-1]])
-    hit = ((sk & 1) == 1) & (prev == sk - 1)
-    k2 = jnp.where((sk & 1) == 1, sk >> 1, np.int32(n))
-    _, hits = _sort1d((k2,), (hit.astype(i32),), num_keys=1)
-    return hits[:n] > 0
 
 
 # ---------------------------------------------------------------------------
@@ -347,7 +354,10 @@ def _pool_event_step(idx, p: PoolParams, st, ev, ev_on):
     n = idx["n"]
 
     alive = (~st["done"]) & ev_on  # [B]
-    probs = _match_probs(idx, ev, p.exact_probs)  # [B, 1024] f32
+    if "probs" in _KNOCKOUT:
+        probs = jnp.zeros((B, KMER_COUNT), f32) + ev[:, None]
+    else:
+        probs = _match_probs(idx, ev, p.exact_probs)  # [B, 1024] f32
 
     rid = st["q_rid"]  # [S], B = dead
     ridc = jnp.minimum(rid, np.int32(B - 1))
@@ -440,7 +450,10 @@ def _pool_event_step(idx, p: PoolParams, st, ev, ev_on):
     is_mv = move >= 1
     mvbase = jnp.clip(move - 1, np.int32(0), np.int32(3))
     nk = jnp.where(is_mv, ((ck << 2) & KMASK) | mvbase, ck)
-    ns_m, ne_m = _extend(idx, cs, ce_, mvbase)
+    if "occ" in _KNOCKOUT:
+        ns_m, ne_m = cs, ce_
+    else:
+        ns_m, ne_m = _extend(idx, cs, ce_, mvbase)
     ns = jnp.where(is_mv, ns_m, cs)
     ne = jnp.where(is_mv, ne_m, ce_)
     cv_fm = cval & ((~is_mv) | (ns <= ne))
@@ -530,9 +543,12 @@ def _pool_event_step(idx, p: PoolParams, st, ev, ev_on):
     k1 = jnp.where(cvalid, ns, INT32_MAX)
     k2 = jnp.where(cvalid, ne, INT32_MAX)
     iota_c = jax.lax.iota(i32, SC)
-    rks, k1s, k2s, k3s, perm = _sort1d(
-        (rid_key, k1, k2, seedprob), (iota_c,), num_keys=4
-    )
+    if "sort" in _KNOCKOUT:
+        rks, k1s, k2s, k3s, perm = rid_key, k1, k2, seedprob, iota_c
+    else:
+        rks, k1s, k2s, k3s, perm = _sort1d(
+            (rid_key, k1, k2, seedprob), (iota_c,), num_keys=4
+        )
     svalid = rks < B
     ns_s, ne_s, seedprob_s = k1s, k2s, k3s
     rid_s = jnp.minimum(rks, np.int32(B - 1))
@@ -599,10 +615,7 @@ def _pool_event_step(idx, p: PoolParams, st, ev, ev_on):
     sdc_src, _ = _compact1d(sdv, RE)
 
     e_j = jax.lax.iota(i32, RE)
-    e_b = jnp.sum(
-        (off_ent[None, :-1] <= e_j[:, None]).astype(i32), axis=1, dtype=i32
-    ) - 1
-    e_b = jnp.clip(e_b, np.int32(0), np.int32(B - 1))
+    e_b = jnp.clip(_bucket_of(off_ent[:-1], RE), np.int32(0), np.int32(B - 1))
     e_ok = e_j < jnp.minimum(n_ent, np.int32(RE))
     eb_off, eb_end, eb_endst, eb_sdst = _flat_pack(
         [off_ent[:-1], ended_r, end_b[:-1], sd_b[:-1]], e_b, p.mxu
@@ -647,8 +660,10 @@ def _pool_event_step(idx, p: PoolParams, st, ev, ev_on):
     rr_evt = jnp.where(rr_end, rr_evti - 1, rr_evti)
 
     # rows -> [B, R] (rows are rid-sorted after the entry sort)
-    rcum = jnp.cumsum((rr_rid[:, None] == jnp.arange(B, dtype=i32)[None, :]).astype(i32), axis=0, dtype=i32)
-    rows_r = rcum[-1]  # [B] per-read row counts
+    rows_r = jnp.sum(
+        (rr_rid[:, None] == jnp.arange(B, dtype=i32)[None, :]).astype(i32),
+        axis=0, dtype=i32,
+    )  # [B] per-read row counts
     roff = jnp.concatenate([jnp.zeros((1,), i32), jnp.cumsum(rows_r, dtype=i32)])
     row_ids = jnp.arange(R, dtype=i32)
     gidx = roff[:-1][:, None] + row_ids[None, :]  # [B, R]
@@ -672,6 +687,8 @@ def _pool_event_step(idx, p: PoolParams, st, ev, ev_on):
         )
     }
     max_rows = jnp.minimum(jnp.max(jnp.where(alive, rows_r, 0)), np.int32(R))
+    if "tracker_full" in _KNOCKOUT:  # worst-case trip-count probe
+        max_rows = jnp.int32(R)
 
     class _TP:
         min_aln_len = p.min_aln_len
@@ -683,9 +700,10 @@ def _pool_event_step(idx, p: PoolParams, st, ev, ev_on):
         )
         return r + 1, ts2
 
-    _, tstate = jax.lax.while_loop(
-        lambda c: c[0] < max_rows, row_body, (jnp.int32(0), tstate)
-    )
+    if "tracker" not in _KNOCKOUT:
+        _, tstate = jax.lax.while_loop(
+            lambda c: c[0] < max_rows, row_body, (jnp.int32(0), tstate)
+        )
 
     # ---- sources (mapper.cpp:544-624) -------------------------------------
     source_prob = idx["threshes"][0]
@@ -719,13 +737,16 @@ def _pool_event_step(idx, p: PoolParams, st, ev, ev_on):
     # sort-based membership bitmap by ~an order of magnitude here
     from ..ops.flat_gather import pair_counts
 
-    present = (
-        pair_counts(
-            jnp.where(svalid, rid_s, np.int32(B)), nk_s, B, KMER_COUNT,
-            force=(None if p.mxu else False),
+    if "pairc" in _KNOCKOUT:
+        present = jnp.zeros((B, KMER_COUNT), bool)
+    else:
+        present = (
+            pair_counts(
+                jnp.where(svalid, rid_s, np.int32(B)), nk_s, B, KMER_COUNT,
+                force=(None if p.mxu else False),
+            )
+            > 0
         )
-        > 0
-    )
     full_v = (
         (~present)
         & (probs >= source_prob)
@@ -804,10 +825,7 @@ def _pool_event_step(idx, p: PoolParams, st, ev, ev_on):
     hgc_src, _ = _compact1d(hg_v, 2 * SC)
 
     j_out = jax.lax.iota(i32, S)
-    bj = jnp.sum(
-        (off_new[None, :-1] <= j_out[:, None]).astype(i32), axis=1, dtype=i32
-    ) - 1
-    bj = jnp.clip(bj, np.int32(0), np.int32(B - 1))
+    bj = jnp.clip(_bucket_of(off_new[:-1], S), np.int32(0), np.int32(B - 1))
     keep = j_out < jnp.minimum(total_keep, np.int32(S))
     # per-slot read scalars in one broadcast
     g_off, g_nd, g_hgk, g_fk, g_ckst, g_hgst, g_old = _flat_pack(
