@@ -292,6 +292,65 @@ def _bucket_of(starts, w_out):
     return jnp.cumsum(hist[:w_out], dtype=i32) - 1
 
 
+class _CompactMap:
+    """Lazy stable-compaction map over a flat validity mask.
+
+    ``at(q)`` returns, for each query position j in ``q``, the source
+    index of the j-th True element (clamped).  Build cost is one
+    row-parallel [G, C] sort; each query batch costs two gathers sized
+    by the QUERY, so callers that only read a few positions (the
+    assembly classes read S of a 2*SC-slot map) never pay for a full
+    materialization."""
+
+    def __init__(self, valid):
+        import jax
+
+        jnp = _jnp()
+        i32 = jnp.int32
+        self._N = N = valid.shape[0]
+        C = self._C = 1280
+        G = self._G = _cdiv_int(N, C)
+        Np = G * C
+        v2 = jnp.pad(valid, (0, Np - N)).reshape(G, C)
+        in_row = jax.lax.broadcasted_iota(i32, (G, C), 1)
+        # per-chunk compaction order (invalid -> C, sorted to the tail)
+        self._skey = jax.lax.sort(
+            jnp.where(v2, in_row, np.int32(C)), dimension=1
+        ).reshape(Np)
+        cnt = jnp.sum(v2, axis=1, dtype=i32)  # [G]
+        self._start = jnp.cumsum(cnt, dtype=i32) - cnt
+        self.total = self._start[-1] + cnt[-1]
+
+    def at(self, q, mxu):
+        import jax
+
+        jnp = _jnp()
+        i32 = jnp.int32
+        C, G, N = self._C, self._G, self._N
+        if "compact" in _KNOCKOUT:
+            return jnp.clip(q, np.int32(0), np.int32(N - 1))
+        # chunk of the q-th True: last g with start[g] <= q, via the
+        # domain-wide step-function table (histogram + cumsum) + one
+        # gather — queries are arbitrary positions, unlike _compact1d's
+        # dense iota
+        if not hasattr(self, "_bucket"):
+            self._bucket = _bucket_of(self._start, N)
+        qc = jnp.clip(q, np.int32(0), np.int32(N - 1))
+        r = jnp.clip(
+            _flat_take(self._bucket, qc, mxu),
+            np.int32(0), np.int32(G - 1),
+        )
+        q = qc
+        within = q - _flat_take(self._start, r, True)
+        src_in_row = _flat_take(
+            self._skey,
+            r * np.int32(C) + jnp.clip(within, np.int32(0), np.int32(C - 1)),
+            mxu,
+        )
+        src = r * np.int32(C) + jnp.minimum(src_in_row, np.int32(C - 1))
+        return jnp.minimum(src, np.int32(N - 1))
+
+
 def _compact1d(valid, w_out):
     """Stable flat compaction indices: src[j] = index of the j-th True.
 
@@ -308,25 +367,18 @@ def _compact1d(valid, w_out):
     if "compact" in _KNOCKOUT:
         j = jax.lax.iota(i32, w_out)
         return jnp.minimum(j, np.int32(N - 1)), j < np.int32(N)
-    C = 1280
-    G = _cdiv_int(N, C)
-    Np = G * C
-    v2 = jnp.pad(valid, (0, Np - N)).reshape(G, C)
-    in_row = jax.lax.broadcasted_iota(i32, (G, C), 1)
-    skey = jax.lax.sort(jnp.where(v2, in_row, np.int32(C)), dimension=1)
-    cnt = jnp.sum(v2, axis=1, dtype=i32)  # [G]
-    start = jnp.cumsum(cnt, dtype=i32) - cnt
-    total = start[-1] + cnt[-1]
+    m = _CompactMap(valid)
+    C, G = m._C, m._G
     j = jax.lax.iota(i32, w_out)
     # row of output slot j: last g with start[g] <= j (rows are disjoint)
-    r = jnp.clip(_bucket_of(start, w_out), np.int32(0), np.int32(G - 1))
-    within = j - _flat_take(start, r, True)
+    r = jnp.clip(_bucket_of(m._start, w_out), np.int32(0), np.int32(G - 1))
+    within = j - _flat_take(m._start, r, True)
     src_in_row = _flat_take(
-        skey.reshape(Np), r * np.int32(C) + jnp.minimum(within, np.int32(C - 1)),
+        m._skey, r * np.int32(C) + jnp.minimum(within, np.int32(C - 1)),
         True,
     )
     src = r * np.int32(C) + jnp.minimum(src_in_row, np.int32(C - 1))
-    ok = j < total
+    ok = j < m.total
     return jnp.minimum(src, np.int32(N - 1)), ok
 
 
@@ -820,9 +872,10 @@ def _pool_event_step(idx, p: PoolParams, st, ev, ev_on):
     )
     cut_pool_r = kept_r != want_r
 
-    # compaction position -> source index maps for the two masked streams
-    ckc_src, _ = _compact1d(child_keep, SC)
-    hgc_src, _ = _compact1d(hg_v, 2 * SC)
+    # compaction position -> source index maps for the two masked
+    # streams, queried lazily at the S assembly slots only
+    ck_map = _CompactMap(child_keep)
+    hg_map = _CompactMap(hg_v)
 
     j_out = jax.lax.iota(i32, S)
     bj = jnp.clip(_bucket_of(off_new[:-1], S), np.int32(0), np.int32(B - 1))
@@ -840,16 +893,8 @@ def _pool_event_step(idx, p: PoolParams, st, ev, ev_on):
     cls_D = keep & (~cls_A) & (~cls_H) & (~cls_F)
     new_rid = jnp.where(keep, bj, np.int32(B))
 
-    idx_A = _flat_take(
-        ckc_src,
-        jnp.clip(g_ckst + r_in, np.int32(0), np.int32(SC - 1)), p.mxu,
-    )
-    idx_H = _flat_take(
-        hgc_src,
-        jnp.clip(g_hgst + (r_in - g_nd), np.int32(0), np.int32(2 * SC - 1)),
-        p.mxu,
-    )
-    idx_H = jnp.clip(idx_H, np.int32(0), np.int32(2 * SC - 1))
+    idx_A = ck_map.at(g_ckst + r_in, p.mxu)
+    idx_H = hg_map.at(g_hgst + (r_in - g_nd), p.mxu)
     idx_F = jnp.clip(
         bj * np.int32(FS) + (r_in - g_nd - g_hgk),
         np.int32(0), np.int32(B * FS - 1),
