@@ -604,8 +604,13 @@ def _pool_event_step(idx, p: PoolParams, st, ev, ev_on):
     svalid = rks < B
     ns_s, ne_s, seedprob_s = k1s, k2s, k3s
     rid_s = jnp.minimum(rks, np.int32(B - 1))
-    nk_s, prob_s, ntot_s, nmoves_s = _flat_pack(
-        [nk, prob, new_tot, nmoves], perm, p.mxu
+    # one pack brings EVERY candidate-space field the rest of the step
+    # needs into sorted space (the assembly reads sorted-space records
+    # only, so no second candidate-space gather is needed downstream)
+    (nk_s, prob_s, ntot_s, nmoves_s, ncons_s, csa_s, newcum_s,
+     cpar_s) = _flat_pack(
+        [nk, prob, new_tot, nmoves, nconsec, csa, newcum, cpar_g],
+        perm, p.mxu,
     )
 
     nxt1 = lambda a, fill: jnp.concatenate([a[1:], jnp.full((1,), fill, a.dtype)])
@@ -903,76 +908,92 @@ def _pool_event_step(idx, p: PoolParams, st, ev, ev_on):
         g_old + (r_in - g_nd - g_hgk - g_fk), np.int32(0), np.int32(S - 1)
     )
 
-    # class A (children): sorted-space fields + candidate-space (via perm)
-    a_ns, a_ne, a_nk, a_tot, a_mvs, a_seedc, a_ci = _flat_pack(
-        [ns_s, ne_s, nk_s, ntot_s, nmoves_s, seed_c, perm],
-        idx_A, p.mxu,
+    # ---- unified record table: ONE row gather serves all four classes.
+    # Every class's new-path fields are materialized in its own source
+    # space with a common schema, concatenated, and gathered once at the
+    # S assembly slots (XLA row gathers cost ~10.5 ns/index regardless
+    # of width, so one 10-field gather beats four class packs).
+    # Schema: start, end, kmer, total, consec, moves, sa,
+    #         ringsrc (pool row to copy the prob ring from; -1 = zeros),
+    #         ringslot (ring slot to overwrite; -1 = none), ringval.
+    ones_sc = jnp.ones((SC,), i32)
+    il2 = lambda a_, b_: jnp.stack([a_, b_], axis=1).reshape(2 * SC)
+    # F-part fields in [B*FS] space (same index count the per-slot
+    # gathers cost before: FS*B == S)
+    fkm_full = f_kmer.reshape(B * FS)
+    f_st_full, f_en_full = _flat_pack(
+        [idx["kmer_st"], idx["kmer_en"]], fkm_full, p.mxu
     )
-    ai = jnp.minimum(a_ci, np.int32(SC - 1))
-    a_cons, a_sa0, a_newcum, a_par, a_prob = _flat_pack(
-        [nconsec, csa, newcum, cpar_g, prob], ai, p.mxu
+    f_rid_full = jax.lax.div(jax.lax.iota(i32, B * FS), np.int32(FS))
+    f_prob_full = lane(
+        _flat_take(tbl4, f_rid_full * np.int32(TR) + (fkm_full >> 2), p.mxu),
+        fkm_full & 3,
     )
-    a_sa = a_sa0 | a_seedc
+    NU = 3 * SC + B * FS + S
 
-    # class H (head/gap): fields from sorted space at idx_H // 2
-    hj = jnp.minimum(jax.lax.div(idx_H, np.int32(2)), np.int32(SC - 1))
-    is_gap = jax.lax.rem(idx_H, np.int32(2)) == 1
-    h_hst, h_hen, h_gst, h_gen, h_nk, h_prob = _flat_pack(
-        [head_st, head_en, gap_st, gap_en, nk_s, prob_s], hj, p.mxu
-    )
-    h_st = jnp.where(is_gap, h_gst, h_hst)
-    h_en = jnp.where(is_gap, h_gen, h_hen)
+    def ucol(a_part, h_part, f_part, d_part):
+        return jnp.concatenate([a_part, h_part, f_part, d_part])
 
-    # class F (full): kmer-derived fields (the owner read is bj directly)
-    fkm = _flat_take(f_kmer.reshape(B * FS), idx_F, p.mxu)
-    f_st, f_en = _flat_pack(
-        [idx["kmer_st"], idx["kmer_en"]], fkm, p.mxu
+    ones_f = jnp.ones((B * FS,), i32)
+    u_start = ucol(ns_s, il2(head_st, gap_st), f_st_full, st["q_start"])
+    u_end = ucol(ne_s, il2(head_en, gap_en), f_en_full, st["q_end"])
+    u_kmer = ucol(nk_s, il2(nk_s, nk_s), fkm_full, st["q_kmer"])
+    u_total = ucol(ntot_s, ones_sc.repeat(2), ones_f, st["q_total"])
+    u_consec = ucol(ncons_s, ones_sc.repeat(2) * 0, ones_f * 0, st["q_consec"])
+    u_moves = ucol(nmoves_s, ones_sc.repeat(2), ones_f, st["q_moves"])
+    u_sa = ucol(
+        (csa_s | seed_c).astype(i32), ones_sc.repeat(2) * 0, ones_f * 0,
+        st["q_sa"].astype(i32),
     )
-    f_rid_g = bj
-    f_prob = lane(
-        _flat_take(tbl4, f_rid_g * np.int32(TR) + (fkm >> 2), p.mxu),
-        fkm & 3,
+    u_ringsrc = ucol(
+        cpar_s, jnp.full((2 * SC,), -1, i32), jnp.full((B * FS,), -1, i32),
+        jax.lax.iota(i32, S),
+    )
+    u_ringslot = ucol(
+        ntot_s % RINGi, ones_sc.repeat(2), ones_f,
+        jnp.full((S,), -1, i32),
+    )
+    u_ringval = ucol(
+        newcum_s, il2(prob_s, prob_s), f_prob_full, jnp.zeros((S,), f32)
     )
 
-    # class D (carried): own pool fields
-    d_start, d_end, d_kmer, d_tot, d_cons, d_mvs, d_sa = _flat_pack(
-        [st["q_start"], st["q_end"], st["q_kmer"], st["q_total"],
-         st["q_consec"], st["q_moves"], st["q_sa"]],
-        idx_D, p.mxu,
+    src_u = jnp.where(
+        cls_A, idx_A,
+        jnp.where(
+            cls_H, np.int32(SC) + idx_H,
+            jnp.where(
+                cls_F, np.int32(3 * SC) + idx_F,
+                np.int32(3 * SC + B * FS) + idx_D,
+            ),
+        ),
+    )
+    (g_start, g_end, g_kmer, g_total, g_consec, g_moves, g_sa, g_rsrc,
+     g_rslot, g_rval) = _flat_pack(
+        [u_start, u_end, u_kmer, u_total, u_consec, u_moves, u_sa,
+         u_ringsrc, u_ringslot, u_ringval],
+        jnp.minimum(src_u, np.int32(NU - 1)), False,
     )
 
-    sel = lambda a, h, f_, d: jnp.where(
-        cls_A, a, jnp.where(cls_H, h, jnp.where(cls_F, f_, d))
-    )
-    z_s = jnp.zeros((S,), i32)
-    nq_start = jnp.where(keep, sel(a_ns, h_st, f_st, d_start), 0)
-    nq_end = jnp.where(keep, sel(a_ne, h_en, f_en, d_end), -1)
-    nq_kmer = jnp.where(keep, sel(a_nk, h_nk, fkm, d_kmer), 0)
-    nq_total = jnp.where(keep, sel(a_tot, z_s + 1, z_s + 1, d_tot), 0)
-    nq_consec = jnp.where(keep, sel(a_cons, z_s, z_s, d_cons), 0)
-    nq_moves = jnp.where(keep, sel(a_mvs, z_s + 1, z_s + 1, d_mvs), 0)
-    nq_sa = keep & sel(a_sa, z_s > 0, z_s > 0, d_sa)
+    nq_start = jnp.where(keep, g_start, 0)
+    nq_end = jnp.where(keep, g_end, -1)
+    nq_kmer = jnp.where(keep, g_kmer, 0)
+    nq_total = jnp.where(keep, g_total, 0)
+    nq_consec = jnp.where(keep, g_consec, 0)
+    nq_moves = jnp.where(keep, g_moves, 0)
+    nq_sa = keep & (g_sa > 0)
 
-    # ring: children copy the parent ring (new slot written); sources get
-    # slot 1 = prob; carried slots copy their own ring.  XLA row gather:
-    # width rides ~free at ~10.5 ns/idx, cheaper than 6 F<=4 MXU calls
-    # for a 23-wide f32 row.
-    ring_src = jnp.where(cls_A, a_par, jnp.where(cls_D, idx_D, np.int32(0)))
+    # ring: children copy the parent ring and write their cum at the new
+    # slot; sources start a zero ring with slot 1 = their prob; carried
+    # slots copy their own ring verbatim (ringslot -1 writes nothing)
     ring_rows = _flat_take(
-        st["q_cum"], jnp.minimum(ring_src, np.int32(S - 1)), False
+        st["q_cum"],
+        jnp.clip(g_rsrc, np.int32(0), np.int32(S - 1)), False,
     )  # [S, RING] f32
     ring_iota = jax.lax.broadcasted_iota(i32, (S, RING), 1)
-    child_ring = jnp.where(
-        ring_iota == (a_tot % RINGi)[:, None], a_newcum[:, None], ring_rows
-    )
-    src_prob_s = jnp.where(cls_H, h_prob, f_prob)
-    src_ring = jnp.where(ring_iota == 1, src_prob_s[:, None], f32(0))
+    base_ring = jnp.where((g_rsrc >= 0)[:, None], ring_rows, f32(0))
     nq_cum = jnp.where(
         keep[:, None],
-        jnp.where(
-            cls_A[:, None], child_ring,
-            jnp.where(cls_D[:, None], ring_rows, src_ring),
-        ),
+        jnp.where(ring_iota == g_rslot[:, None], g_rval[:, None], base_ring),
         f32(0),
     ).astype(f32)
 
