@@ -85,6 +85,25 @@ def test_pooled_matches_oracle_on_repeat_genome(pore_model, tmp_path_factory):
         assert got[rid] == want[rid], rid
 
 
+def test_pooled_bitonic_sort_paf_identical(
+    example_index, example_threshes, pore_model, make_read, golden_reads,
+    golden_pafs,
+):
+    """sort_mode="bitonic" (hybrid row-parallel candidate sort) must be
+    byte-PAF-identical to the flat lax.sort path."""
+    conf = Conf()
+    conf.engine.batch_reads = 4
+    conf.engine.pooled = True
+    conf.engine.pool_slots_per_read = 512
+    bm = BatchMapper(
+        example_index, pore_model, example_threshes, conf,
+        sort_mode="bitonic",
+    )
+    rids = list(golden_pafs)[:6]
+    run(bm, make_read, golden_reads, golden_pafs, rids)
+    assert bm.ovf_why == {}
+
+
 def test_pooled_pool_exhaustion_flags_and_ladder(
     example_index, example_threshes, pore_model, make_read, golden_reads,
     golden_pafs,

@@ -78,6 +78,9 @@ class PoolParams:
     min_mean_conf: float = 6.0
     min_top_conf: float = 1.85
     exact_probs: bool = True
+    # candidate-sort implementation: "flat" = [1, SC] lax.sort;
+    # "bitonic" = hybrid row-parallel bitonic merge (_sort1d_bitonic)
+    sort_mode: str = "flat"
     mxu: bool = False
     sampled_sa: bool = False
     sa_intv: int = 32
@@ -217,6 +220,117 @@ def _sort1d(keys, payloads=(), num_keys=None):
     ops = tuple(k[None, :] for k in (*keys, *payloads))
     res = jax.lax.sort(ops, dimension=1, num_keys=num_keys or len(keys))
     return tuple(r[0] for r in res)
+
+
+def _f32_sort_key(x):
+    """i32 key reproducing lax.sort's f32 comparator exactly: monotone
+    sign-magnitude flip, with +/-0 EQUAL (key 0) and every NaN EQUAL and
+    LARGEST (key INT32_MAX) — measured lax.sort order:
+    -inf < finite (-0 == +0) < +inf < nan (any sign/payload)."""
+    import jax
+
+    jnp = _jnp()
+    i = jax.lax.bitcast_convert_type(x, jnp.int32)
+    mono = i ^ jax.lax.shift_right_logical(
+        jax.lax.shift_right_arithmetic(i, np.int32(31)), np.int32(1)
+    )
+    return jnp.where(
+        jnp.isnan(x), np.int32(INT32_MAX),
+        jnp.where(x == 0, np.int32(0), mono),
+    )
+
+
+def _f32_from_sort_key(k):
+    """Inverse of the monotone part of :func:`_f32_sort_key` (NaN keys
+    recover as a canonical NaN, the zero key as +0.0 — downstream use is
+    value comparisons only, for which these are equivalent)."""
+    import jax
+
+    jnp = _jnp()
+    mono = k ^ jax.lax.shift_right_logical(
+        jax.lax.shift_right_arithmetic(k, np.int32(31)), np.int32(1)
+    )
+    return jax.lax.bitcast_convert_type(mono, jnp.float32)
+
+
+def _sort1d_bitonic(keys):
+    """Flat ascending sort of i32 key tuples via hybrid bitonic merge.
+
+    A [1, N] lax.sort has no row parallelism on TPU; this sorts [G, C]
+    rows with row-parallel lax.sort, then runs Batcher's bitonic merge
+    cascade with STATIC-stride compare-exchange passes — but only at
+    strides >= C: once a merge level's remaining work is C-sized bitonic
+    blocks in final block order, one row-parallel lax.sort finishes the
+    level.  All keys participate in the comparator (append an iota key
+    for stability), so the result equals lax.sort(num_keys=all) exactly.
+    """
+    import jax
+
+    jnp = _jnp()
+    i32 = jnp.int32
+    N = keys[0].shape[0]
+    C = 1024  # finisher row width
+    C0 = 8192  # initial sorted-run length
+    NP = 1 << max(int(np.ceil(np.log2(max(N, C0)))), 0)
+    MAXV = np.int32(INT32_MAX)
+
+    def lt(a, b):
+        """Lexicographic a < b over key tuples."""
+        out = None
+        eq = None
+        for x, y in zip(a, b):
+            l_ = x < y
+            if out is None:
+                out, eq = l_, x == y
+            else:
+                out = out | (eq & l_)
+                eq = eq & (x == y)
+        return out
+
+    ks = [jnp.pad(k, (0, NP - N), constant_values=MAXV) for k in keys]
+
+    def rowsort(arrs, width):
+        ops = tuple(a.reshape(NP // width, width) for a in arrs)
+        res = jax.lax.sort(ops, dimension=1, num_keys=len(ops))
+        return [r.reshape(NP) for r in res]
+
+    def cx(arrs, a_view, b_view):
+        """Compare-exchange two views (lists of low/high elements)."""
+        swap = lt(b_view, a_view)
+        lo = [jnp.where(swap, bb, aa) for aa, bb in zip(a_view, b_view)]
+        hi = [jnp.where(swap, aa, bb) for aa, bb in zip(a_view, b_view)]
+        return lo, hi
+
+    ks = rowsort(ks, min(C0, NP))
+    L = C0
+    while L < NP:
+        # flip pass: merge pairs of ascending runs of length L by
+        # comparing element i of the low run with element (L-1-i) of the
+        # high run — yields two bitonic halves with max(lo) <= min(hi)
+        v = [k.reshape(NP // (2 * L), 2, L) for k in ks]
+        a = [x[:, 0, :] for x in v]
+        b = [x[:, 1, ::-1] for x in v]
+        lo, hi = cx(ks, a, b)
+        ks = [
+            jnp.stack([l_, h[:, ::-1]], axis=1).reshape(NP)
+            for l_, h in zip(lo, hi)
+        ]
+        # clean passes at strides >= C, then a row sort finishes the
+        # C-sized bitonic blocks
+        s = L // 2
+        while s >= C:
+            v = [k.reshape(NP // (2 * s), 2, s) for k in ks]
+            a = [x[:, 0, :] for x in v]
+            b = [x[:, 1, :] for x in v]
+            lo, hi = cx(ks, a, b)
+            ks = [
+                jnp.stack([l_, h], axis=1).reshape(NP)
+                for l_, h in zip(lo, hi)
+            ]
+            s //= 2
+        ks = rowsort(ks, min(C, NP))
+        L *= 2
+    return tuple(k[:N] for k in ks)
 
 
 def _flat_take(tbl, idx, mxu):
@@ -597,6 +711,11 @@ def _pool_event_step(idx, p: PoolParams, st, ev, ev_on):
     iota_c = jax.lax.iota(i32, SC)
     if "sort" in _KNOCKOUT:
         rks, k1s, k2s, k3s, perm = rid_key, k1, k2, seedprob, iota_c
+    elif p.sort_mode == "bitonic":
+        rks, k1s, k2s, k3i, perm = _sort1d_bitonic(
+            (rid_key, k1, k2, _f32_sort_key(seedprob), iota_c)
+        )
+        k3s = _f32_from_sort_key(k3i)
     else:
         rks, k1s, k2s, k3s, perm = _sort1d(
             (rid_key, k1, k2, seedprob), (iota_c,), num_keys=4
