@@ -62,11 +62,14 @@ def main():
     on = np.ones((B, T), bool)
 
     for tag, stages in VARIANTS:
+        over = {}
+        if stages == "bitonic":  # param A/B, not a knockout stub
+            stages, over = "", {"sort_mode": "bitonic"}
         pooled._KNOCKOUT = frozenset(stages.split("|")) - {""}
         conf = Conf()
         conf.engine.batch_reads = B
         conf.engine.pool_slots_per_read = SLOTS
-        eng = pooled.PooledEngine(fmi, model, thr, conf)
+        eng = pooled.PooledEngine(fmi, model, thr, conf, **over)
         state = eng.fresh_state()
         state = eng.reset_slots(state, np.ones((B,), bool))
         t0 = time.time()

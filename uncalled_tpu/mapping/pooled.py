@@ -604,10 +604,14 @@ def _pool_event_step(idx, p: PoolParams, st, ev, ev_on):
         st["q_total"] + 1 >= SL, (st["q_total"] + 1 - SL) % RINGi, 0
     )
     wstart_p = _ring_read(st["q_cum"][None], wslot_p[None])[0]
-    cs, ce_, ck, ctot, ccons, cmvs, csa, ccum, cwst, crid = _flat_pack(
+    # the 5 flag probs ride in the parent pack (row-gather width is
+    # ~free), so the candidate's own prob needs no second table gather:
+    # stay keeps the parent k-mer's prob, move b is neighbor b's prob
+    (cs, ce_, ck, ctot, ccons, cmvs, csa, ccum, cwst, crid,
+     cp_stay, cp_m0, cp_m1, cp_m2, cp_m3) = _flat_pack(
         [st["q_start"], st["q_end"], st["q_kmer"], st["q_total"],
          st["q_consec"], st["q_moves"], st["q_sa"], cumnow_p, wstart_p,
-         ridc],
+         ridc, stay_p, mv_p[:, 0], mv_p[:, 1], mv_p[:, 2], mv_p[:, 3]],
         cpar_g, p.mxu,
     )
     crid = jnp.where(cval, crid, np.int32(B))
@@ -642,9 +646,12 @@ def _pool_event_step(idx, p: PoolParams, st, ev, ev_on):
     svb = _flat_take(ccum2_pad, cb_c, False)  # [B+1]
     svb_c = jnp.minimum(svb, np.int32(SC))
 
-    prob = lane(
-        _flat_take(tbl4, jnp.minimum(crid_g, B - 1) * np.int32(TR) + (nk >> 2), p.mxu),
-        nk & 3,
+    prob = jnp.where(
+        move == 0, cp_stay,
+        jnp.where(
+            move == 1, cp_m0,
+            jnp.where(move == 2, cp_m1, jnp.where(move == 3, cp_m2, cp_m3)),
+        ),
     )
     new_tot = ctot + 1
     newcum = ccum + prob
@@ -659,7 +666,6 @@ def _pool_event_step(idx, p: PoolParams, st, ev, ev_on):
 
     # ---- ended parents (budget-break parity, mapper.cpp:455-520) ---------
     k_i = pos[0::5]  # [S] global compacted position of each stay flag
-    slot_i = jax.lax.iota(i32, S)
     nxt_rid = jnp.concatenate([rid[1:], jnp.full((1,), B, i32)])
     is_last = nxt_rid != rid
     k_next = jnp.concatenate([k_i[1:], (pos[-1] + flat[-1])[None]])
