@@ -30,8 +30,8 @@ SLOTS = int(os.environ.get("POOLT_SLOTS", 384))
 VARIANTS = [
     v.split(":") for v in os.environ.get(
         "POOLK_VARIANTS",
-        "full:,notrk:tracker_full,nosort:sort,nogath:gathers,"
-        "nocompact:compact",
+        "full:,notrk:tracker_full,nosort:sort,bsort:bitonic,"
+        "nogath:gathers,nocompact:compact",
     ).split(",")
 ]
 

@@ -584,10 +584,14 @@ def _pool_event_step(idx, p: PoolParams, st, ev, ev_on):
 
     # ---- compact to the candidate pool (global, order-preserving) --------
     flat = flags.reshape(5 * S)
-    pos = jnp.cumsum(flat, dtype=i32) - flat  # global exclusive positions
-    foff = off * 5  # flag-space read boundaries [B+1]
-    pos_pad = jnp.concatenate([pos, (pos[-1] + flat[-1])[None]])
-    cb = _flat_take(pos_pad, foff, False)  # candidate-space read starts [B+1]
+    # flag positions are only ever read at slot granularity (stay is flag
+    # 0 of its slot), so a [S] cumsum of per-slot counts replaces the
+    # [5S] flag-space cumsum
+    cflags = jnp.sum(flags, axis=1, dtype=i32)  # [S]
+    pstart = jnp.cumsum(cflags, dtype=i32) - cflags  # excl. flag pos of slot
+    total_flags = pstart[-1] + cflags[-1]
+    pstart_pad = jnp.concatenate([pstart, total_flags[None]])
+    cb = _flat_take(pstart_pad, off, False)  # cand-space read starts [B+1]
     n_flags_r = cb[1:] - cb[:-1]  # [B]
 
     cidx, cval = _compact1d(flat, SC)  # cidx = flat code of the j-th flag
@@ -665,10 +669,10 @@ def _pool_event_step(idx, p: PoolParams, st, ev, ev_on):
     nconsec = jnp.where(is_mv, 0, ccons + 1)
 
     # ---- ended parents (budget-break parity, mapper.cpp:455-520) ---------
-    k_i = pos[0::5]  # [S] global compacted position of each stay flag
+    k_i = pstart  # [S] global compacted position of each stay flag
     nxt_rid = jnp.concatenate([rid[1:], jnp.full((1,), B, i32)])
     is_last = nxt_rid != rid
-    k_next = jnp.concatenate([k_i[1:], (pos[-1] + flat[-1])[None]])
+    k_next = jnp.concatenate([k_i[1:], total_flags[None]])
     # one slot-space broadcast for the candidate-segment scalars
     seg_end_c, tot_valid_slot = _flat_pack([cb[1:], n_valid_r], ridc, p.mxu)
     k_next = jnp.where(is_last, seg_end_c, k_next)
