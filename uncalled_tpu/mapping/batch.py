@@ -82,6 +82,7 @@ class BatchMapper:
         # last rung runs the reference's exact budgets and ignores its
         # own overflow flags.
         self._rung = _rung
+        self._dsp_pool = None
         self._next_mapper = None
         self._over = dict(over)
         self._drain_mapper = None
@@ -286,6 +287,19 @@ class BatchMapper:
                 return state
             if self.conf.engine.device_dsp and len(incoming) > 1:
                 new_slots = self._prepare_wave([r for _, r in incoming])
+            elif len(incoming) > 3:
+                # host DSP threads: the native detector is a ctypes call
+                # (GIL released) and normalization is numpy, so a refill
+                # wave's per-read prep parallelizes across cores
+                from concurrent.futures import ThreadPoolExecutor
+
+                if self._dsp_pool is None:
+                    self._dsp_pool = ThreadPoolExecutor(max_workers=8)
+                new_slots = list(
+                    self._dsp_pool.map(
+                        self._prepare, [r for _, r in incoming]
+                    )
+                )
             else:
                 new_slots = [self._prepare(r) for _, r in incoming]
             now = __import__("time").time()

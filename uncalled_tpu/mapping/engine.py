@@ -442,7 +442,8 @@ def _tracker_add(p: EngineParams, st, ref_en, mc, evt, row_ok):
     m3 = jnp.max(jnp.where(t2, e1, NEG), axis=1)
     t3 = t2 & (e1 == m3[:, None])
     any_match = jnp.any(elig, axis=1) & row_ok
-    match_idx = jnp.argmax(t3, axis=1).astype(i32)  # first True
+    match_idx = jax.lax.argmax(t3, 1, i32)  # first True (i32 index: the
+    # default i64 under x64 would run emulated 64-bit in the hot loop)
 
     CL = v.shape[1]
     onehot = (
@@ -482,7 +483,7 @@ def _tracker_add(p: EngineParams, st, ref_en, mc, evt, row_ok):
     do_insert = row_ok & ~any_match
     free = ~occupied
     evict_key = jnp.where(free, NEG, tot)  # prefer free, else min length
-    ins_idx = jnp.argmin(evict_key, axis=1).astype(i32)
+    ins_idx = jax.lax.argmin(evict_key, 1, i32)
     ins1h = (
         jax.lax.broadcasted_iota(i32, (1, CL), 1) == ins_idx[:, None]
     ) & do_insert[:, None]
@@ -1183,7 +1184,7 @@ def _tracker_decide(p: EngineParams, st):
     NEG = jnp.int32(-(2**30))
     tot = jnp.where(st["cl_count"], st["cl_total"], NEG)
     CL = tot.shape[1]
-    first_i = jnp.argmax(tot, axis=1).astype(jnp.int32)
+    first_i = jax.lax.argmax(tot, 1, jnp.int32)
     masked = jnp.where(
         jax.lax.broadcasted_iota(jnp.int32, tot.shape, 1) == first_i[:, None],
         NEG,
