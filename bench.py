@@ -137,7 +137,10 @@ def main():
     # warmup (includes compile)
     for _ in bm.map_reads(reads[:N_WARM]):
         pass
-    n_warm_rungs = int(os.environ.get("BENCH_WARM_LADDER", "2"))
+    # with the pooled wide tier, rung #2 is the classic P=10000 final
+    # backstop — a 30+ min compile for a program the wide pool makes
+    # ~unreachable, so default to warming the wide tier only
+    n_warm_rungs = int(os.environ.get("BENCH_WARM_LADDER", "1"))
     # pre-compile every program the timed region can touch (advance AND
     # slot-reset for the straggler-drain mapper and the first remap
     # rungs) so no cold compile lands inside the timing; compiles persist

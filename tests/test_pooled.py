@@ -104,12 +104,14 @@ def test_pooled_bitonic_sort_paf_identical(
     assert bm.ovf_why == {}
 
 
-def test_pooled_pool_exhaustion_flags_and_ladder(
+def test_pooled_pool_exhaustion_wide_pool_tier(
     example_index, example_threshes, pore_model, make_read, golden_reads,
     golden_pafs,
 ):
     """A pool too small for the read must set the overflow flag and the
-    remap ladder (classic wide engine) must restore byte parity."""
+    POOLED wide tier (conf.engine.pool_wide) must restore byte parity."""
+    from uncalled_tpu.mapping.pooled import PooledEngine
+
     conf = Conf()
     conf.engine.batch_reads = 2
     conf.engine.pooled = True
@@ -121,4 +123,54 @@ def test_pooled_pool_exhaustion_flags_and_ladder(
     )
     got = {p.rd_name: p.to_line() for p in bm.map_reads(reads)}
     assert bm.ovf_why, "tiny pool must overflow"
+    assert isinstance(bm._next_mapper.eng, PooledEngine), "wide tier is pooled"
+    assert got[rid] == golden_pafs[rid]
+
+
+def test_pooled_exhaustion_chains_to_classic_final_rung(
+    example_index, example_threshes, pore_model, make_read, golden_reads,
+    golden_pafs,
+):
+    """When the wide pool tier ALSO trips (tiny pool_wide), the classic
+    final rung must restore byte parity."""
+    from uncalled_tpu.mapping.engine import MapEngine
+
+    conf = Conf()
+    conf.engine.batch_reads = 2
+    conf.engine.pooled = True
+    conf.engine.pool_wide = (96, 256)  # wide tier still far too small
+    conf.engine.remap_ladder = ((1024, 2, 128, 256, 0),)
+    rid = "sim_0000_Escherichia_coli_3854_+"
+    reads = [make_read(rid, golden_reads[rid])]
+    bm = BatchMapper(
+        example_index, pore_model, example_threshes, conf, S=128, SC=160,
+    )
+    got = {p.rd_name: p.to_line() for p in bm.map_reads(reads)}
+    wide = bm._next_mapper
+    assert wide.ovf_why, "tiny wide pool must also overflow"
+    assert isinstance(wide._next_mapper.eng, MapEngine), "final rung classic"
+    assert got[rid] == golden_pafs[rid]
+
+
+def test_pooled_exhaustion_classic_ladder_when_wide_disabled(
+    example_index, example_threshes, pore_model, make_read, golden_reads,
+    golden_pafs,
+):
+    """pool_wide=() keeps the old behavior: ejects route onto the
+    classic remap ladder directly."""
+    from uncalled_tpu.mapping.engine import MapEngine
+
+    conf = Conf()
+    conf.engine.batch_reads = 2
+    conf.engine.pooled = True
+    conf.engine.pool_wide = ()
+    conf.engine.remap_ladder = ((1024, 2, 128, 256, 0),)
+    rid = "sim_0000_Escherichia_coli_3854_+"
+    reads = [make_read(rid, golden_reads[rid])]
+    bm = BatchMapper(
+        example_index, pore_model, example_threshes, conf, S=128, SC=160,
+    )
+    got = {p.rd_name: p.to_line() for p in bm.map_reads(reads)}
+    assert bm.ovf_why, "tiny pool must overflow"
+    assert isinstance(bm._next_mapper.eng, MapEngine)
     assert got[rid] == golden_pafs[rid]

@@ -142,6 +142,13 @@ class EngineParams:
     # exhaustion.  pool_slots_per_read sizes the pool (S = B * this).
     pooled: bool = False
     pool_slots_per_read: int = 384
+    # pool-exhaustion ladder tier: reads that trip a PHYSICAL pool cap
+    # rerun on a pooled engine with this many slots/read on B/4 read
+    # slots (per-read budgets are already the reference's, so scaling
+    # the pools is the only dimension that matters); only ITS rare
+    # physical cuts fall through to the classic final rung.  () disables
+    # (ejects route straight onto the classic remap ladder).
+    pool_wide: tuple = (1536, 2048)  # (slots_per_read, clusters)
     # straggler drain: once the input queue is empty and few reads
     # remain, restart them on a B/8-wide mapper (step cost ~ B) instead
     # of paying full-width steps for a near-empty batch

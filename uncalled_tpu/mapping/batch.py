@@ -57,7 +57,7 @@ class BatchMapper:
 
     def __init__(self, fmi, model, threshes, conf: Conf | None = None,
                  emit_timing: bool = False, _rung: int = 0,
-                 engine=None, **over):
+                 _pool_tier: int = 0, engine=None, **over):
         self.conf = conf or Conf()
         if engine is None:
             if self.conf.engine.pooled and _rung == 0:
@@ -82,6 +82,7 @@ class BatchMapper:
         # last rung runs the reference's exact budgets and ignores its
         # own overflow flags.
         self._rung = _rung
+        self._pool_tier = _pool_tier
         self._dsp_pool = None
         self._next_mapper = None
         self._over = dict(over)
@@ -96,9 +97,38 @@ class BatchMapper:
 
     def _get_next(self) -> "BatchMapper":
         """Next (wider) ladder rung for reads whose run here tripped a
-        budget; built lazily, cached."""
+        budget; built lazily, cached.
+
+        Pooled entry engines get a POOLED wide tier first
+        (conf.engine.pool_wide): per-read budgets are already the
+        reference's, so only the physical pools need scaling — far
+        cheaper than the classic [B, P] wide rungs, whose per-event cost
+        is superlinear in P.  The classic FINAL rung stays as the
+        backstop for the wide pool's own (rare^2) physical cuts."""
+        from .pooled import PooledEngine
+
+        en = self.conf.engine
         if self._next_mapper is None:
-            P, B, R, CL, CE = self.conf.engine.remap_ladder[self._rung]
+            if (
+                isinstance(self.eng, PooledEngine)
+                and self._pool_tier == 0
+                and en.pool_wide
+            ):
+                slots, CLw = en.pool_wide
+                Bw = max(2, self.eng.params.B // 4)
+                self._next_mapper = BatchMapper(
+                    self.fmi, self.model, self.threshes, self.conf,
+                    emit_timing=self.emit_timing,
+                    _rung=max(len(en.remap_ladder) - 1, 0),
+                    _pool_tier=1,
+                    engine=PooledEngine(
+                        self.fmi, self.model, self.threshes, self.conf,
+                        B=Bw, S=Bw * slots, SC=Bw * slots + Bw * slots // 4,
+                        CL=CLw, R=1024, FS=512, RE=2048, RT=8192,
+                    ),
+                )
+                return self._next_mapper
+            P, B, R, CL, CE = en.remap_ladder[self._rung]
             self._next_mapper = BatchMapper(
                 self.fmi, self.model, self.threshes, self.conf,
                 emit_timing=self.emit_timing, _rung=self._rung + 1,
@@ -376,6 +406,21 @@ class BatchMapper:
             yield from self._get_drain().map_reads(drained)
 
         if overflowed:
+            # pooled entry tier: ejects are PHYSICAL pool cuts — the
+            # per-read budget is already the reference's — so they all
+            # go to the single pooled wide tier (no demand routing over
+            # classic budgets)
+            from .pooled import PooledEngine
+
+            if (
+                isinstance(self.eng, PooledEngine)
+                and self._pool_tier == 0
+                and self.conf.engine.pool_wide
+            ):
+                yield from self._get_next().map_reads(
+                    [read for read, _, _ in overflowed]
+                )
+                return
             # remap pass: reads that tripped a budget rerun on a wider
             # rung; the final rung is the reference's exact max_paths
             # budgets (mapper.cpp:83-86).  Demand-routed: each read goes
