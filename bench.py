@@ -41,7 +41,9 @@ EVT_BLOCK = int(os.environ.get("BENCH_EVT_BLOCK", 32))
 PATHS = int(os.environ.get("BENCH_PATHS", 1024))
 CAND_EXT = int(os.environ.get("BENCH_CE", 0))
 SEED_ROWS = int(os.environ.get("BENCH_SEED_ROWS", 256))
-CLUSTERS = int(os.environ.get("BENCH_CLUSTERS", 1024))
+# 0 = use the engine default (pooled: CL=2048, sized above measured
+# cluster demand so CL evictions ~never eject a read)
+CLUSTERS = int(os.environ.get("BENCH_CLUSTERS", 0))
 BASELINE_READS_PER_SEC = 16 / 0.14099  # reference: 16 threads, 140.99 ms/read
 
 
@@ -131,7 +133,8 @@ def main():
     )
     bm = BatchMapper(
         fmi, load_default(), load_uncl(prefix + ".uncl"), conf,
-        P=PATHS, C=PATHS, CE=CAND_EXT, R=SEED_ROWS, CL=CLUSTERS,
+        P=PATHS, C=PATHS, CE=CAND_EXT, R=SEED_ROWS,
+        **({"CL": CLUSTERS} if CLUSTERS else {}),
     )
 
     # warmup (includes compile)
@@ -254,7 +257,8 @@ def main():
         conf2.engine.remap_wide = conf.engine.remap_wide
         bm2 = BatchMapper(
             fmi, load_default(), load_uncl(prefix + ".uncl"), conf2,
-            P=PATHS, C=PATHS, CE=CAND_EXT, R=SEED_ROWS, CL=CLUSTERS,
+            P=PATHS, C=PATHS, CE=CAND_EXT, R=SEED_ROWS,
+        **({"CL": CLUSTERS} if CLUSTERS else {}),
         )
         for paf in bm2.map_reads(reads[N_WARM:]):
             ours[paf.rd_name] = paf.to_line()

@@ -148,7 +148,7 @@ class EngineParams:
     # the pools is the only dimension that matters); only ITS rare
     # physical cuts fall through to the classic final rung.  () disables
     # (ejects route straight onto the classic remap ladder).
-    pool_wide: tuple = (1536, 2048)  # (slots_per_read, clusters)
+    pool_wide: tuple = (1536, 4096)  # (slots_per_read, clusters)
     # straggler drain: once the input queue is empty and few reads
     # remain, restart them on a B/8-wide mapper (step cost ~ B) instead
     # of paying full-width steps for a near-empty batch

@@ -1273,14 +1273,32 @@ class MapEngine:
         on = jnp.asarray(on, dtype=bool)
         return self._advance(state, means, on)
 
+    READOUT_KEYS = (
+        "done", "success", "dec_evt", "evt_i", "ovf", "ovf_why",
+        "dm_flags", "dm_valid", "dm_paths", "dm_rows",
+        "mm_len", "mm_ref_st", "mm_r1", "mm_r2e", "mm_evt_st", "mm_evt_en",
+    )
+
     def readout(self, state):
-        """Pull per-read lifecycle + decision fields to host numpy."""
+        """Pull per-read lifecycle + decision fields to host numpy.
+
+        Packed on device into ONE [K, B] i32 array first: a device_get
+        per field is a full round trip over the (remote) device link,
+        and the host loop reads these every block."""
         import jax
 
-        keys = (
-            "done", "success", "dec_evt", "evt_i", "ovf", "ovf_why",
-            "dm_flags", "dm_valid", "dm_paths", "dm_rows",
-            "mm_len", "mm_ref_st", "mm_r1", "mm_r2e", "mm_evt_st", "mm_evt_en",
-        )
-        vals = jax.device_get([state[k] for k in keys])
-        return dict(zip(keys, vals))
+        keys = self.READOUT_KEYS
+        if not hasattr(self, "_readout_pack"):
+            import jax.numpy as jnp
+
+            def _pack(st):
+                return jnp.stack(
+                    [st[k].astype(jnp.int32) for k in keys]
+                )
+
+            self._readout_pack = jax.jit(_pack)
+        packed = np.asarray(jax.device_get(self._readout_pack(state)))
+        out = dict(zip(keys, packed))
+        for k in ("done", "success", "ovf"):
+            out[k] = out[k].astype(bool)
+        return out

@@ -65,7 +65,15 @@ class PoolParams:
     # seed rows per read per event ([B, R] tracker feed): measured
     # per-read max 360 on honest reads (p99=257) -> 384 ~never trips
     R: int = 384
-    CL: int = 1024  # seed-cluster table capacity per read
+    # seed-cluster table capacity per read.  Sized ABOVE the highest
+    # cluster count observed through the reference-budget oracle on
+    # honest reads (max 1716, p99 1563): a CL eviction ejects the read
+    # to the wide tier, and those ejected repeat-heavy reads are
+    # exactly the long-running ones — a near-empty wide batch then
+    # costs far more wall than the ~2x tracker-traffic of the wider
+    # table costs everyone (measured: 10-16 ejects burned ~300-700 s
+    # of an 800 s bench at CL=1024).
+    CL: int = 2048
     PC: int = 10000  # per-read path budget (the reference's max_paths)
     # mapper / tracker params (identical to EngineParams)
     seed_len: int = 22
@@ -1228,12 +1236,21 @@ class PooledEngine:
         return self._advance(state, means, on)
 
     def readout(self, state):
+        """One packed [K, B] transfer per block (see MapEngine.readout)."""
         import jax
 
-        keys = (
-            "done", "success", "dec_evt", "evt_i", "ovf", "ovf_why",
-            "dm_flags", "dm_valid", "dm_paths", "dm_rows",
-            "mm_len", "mm_ref_st", "mm_r1", "mm_r2e", "mm_evt_st", "mm_evt_en",
-        )
-        vals = jax.device_get([state[k] for k in keys])
-        return dict(zip(keys, vals))
+        from .engine import MapEngine
+
+        keys = MapEngine.READOUT_KEYS
+        if not hasattr(self, "_readout_pack"):
+            import jax.numpy as jnp
+
+            def _pack(st):
+                return jnp.stack([st[k].astype(jnp.int32) for k in keys])
+
+            self._readout_pack = jax.jit(_pack)
+        packed = np.asarray(jax.device_get(self._readout_pack(state)))
+        out = dict(zip(keys, packed))
+        for k in ("done", "success", "ovf"):
+            out[k] = out[k].astype(bool)
+        return out
