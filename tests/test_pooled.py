@@ -85,6 +85,29 @@ def test_pooled_matches_oracle_on_repeat_genome(pore_model, tmp_path_factory):
         assert got[rid] == want[rid], rid
 
 
+def test_pooled_drain_migration_paf_identical(
+    example_index, example_threshes, pore_model, make_read, golden_reads,
+    golden_pafs,
+):
+    """Straggler drain by STATE MIGRATION (pooled -> smaller pooled) must
+    keep byte-PAF parity — the migrated reads continue mid-stream on the
+    narrow mapper instead of restarting."""
+    from uncalled_tpu.mapping.pooled import PooledEngine
+
+    conf = Conf()
+    conf.engine.batch_reads = 8
+    conf.engine.pooled = True
+    conf.engine.pool_slots_per_read = 512
+    conf.engine.drain_min_batch = 8  # drain fires at this tiny scale
+    conf.engine.evt_block = 16
+    bm = BatchMapper(example_index, pore_model, example_threshes, conf)
+    rids = list(golden_pafs)[:10]
+    run(bm, make_read, golden_reads, golden_pafs, rids)
+    dm = bm._drain_mapper
+    assert dm is not None and isinstance(dm.eng, PooledEngine)
+    assert hasattr(bm.eng, "_migrations"), "migration path must have run"
+
+
 def test_pooled_bitonic_sort_paf_identical(
     example_index, example_threshes, pore_model, make_read, golden_reads,
     golden_pafs,

@@ -153,6 +153,7 @@ class EngineParams:
     # remain, restart them on a B/8-wide mapper (step cost ~ B) instead
     # of paying full-width steps for a near-empty batch
     drain_shrink: bool = True
+    drain_min_batch: int = 64  # smallest B that still drains to B/4
     # remap ladder: reads whose engine run trips ANY fixed budget (path /
     # candidate / seed-row / cluster capacity) are EJECTED EARLY and
     # re-mapped on a wider rung, so narrow budgets are a throughput

@@ -146,7 +146,7 @@ class BatchMapper:
         drain mapper CHAINS (256 -> 64 -> 16) so the tail shrinks
         geometrically with the straggler count."""
         if self._drain_mapper is None:
-            Bd = max(16, self.eng.params.B // 4)
+            Bd = max(4, self.eng.params.B // 4)
             self._drain_mapper = BatchMapper(
                 self.fmi, self.model, self.threshes, self.conf,
                 emit_timing=self.emit_timing, _rung=self._rung,
@@ -294,13 +294,41 @@ class BatchMapper:
     # --------------------------------------------------------------- main
     def map_reads(self, reads):
         """Generator over Paf results; `reads` is any iterable of Read-likes."""
-        B, T = self.eng.params.B, self.T
-        it = iter(reads)
-        slots = [None] * B
-        state = self.eng.fresh_state()
-        pending = 0
+        B = self.eng.params.B
+        yield from self._run(
+            iter(reads), [None] * B, self.eng.fresh_state(), 0, False, None
+        )
 
-        input_done = False
+    def _try_migrate(self, dm, state, keep):
+        """Drain-by-migration: move the stragglers' device state into the
+        narrow mapper instead of restarting them (a restart re-burns each
+        read's whole event history at drain step cost).  Returns the
+        migrated state, or None when migration doesn't apply (classic
+        engines, too many reads, pool wouldn't fit, mismatched shapes)."""
+        from .pooled import PooledEngine
+
+        if not (
+            isinstance(self.eng, PooledEngine)
+            and isinstance(dm.eng, PooledEngine)
+        ):
+            return None
+        ps, pd = self.eng.params, dm.eng.params
+        if len(keep) > pd.B or ps.CL != pd.CL or ps.seed_len != pd.seed_len:
+            return None
+        import jax
+
+        n_paths = np.asarray(jax.device_get(state["n_paths"]))
+        if int(n_paths[keep].sum()) > pd.S:
+            return None
+        sel = np.full(pd.B, -1, np.int32)
+        sel[: len(keep)] = keep
+        return self.eng.migrate(state, sel, dm.eng)
+
+    def _run(self, it, slots, state, pending, input_done, ovf_sink):
+        """Core slot loop.  ``ovf_sink`` non-None routes budget ejects to
+        the caller's list (drain mappers hand ejects UP so only the entry
+        mapper's ladder instances — and their compiled programs — exist)."""
+        B, T = self.eng.params.B, self.T
 
         def refill(state):
             nonlocal pending, input_done
@@ -344,21 +372,34 @@ class BatchMapper:
             self.conf.engine.remap_wide
             and self._rung < len(self.conf.engine.remap_ladder)
         )
-        overflowed = []
+        overflowed = [] if ovf_sink is None else ovf_sink
         drained = []
         # drain only at the entry rung: ladder rungs see few reads (their
         # batches are already small) and a drain mapper is another
         # compiled program per rung
         can_drain = (
-            self.conf.engine.drain_shrink and B >= 64 and self._rung == 0
+            self.conf.engine.drain_shrink
+            and B >= self.conf.engine.drain_min_batch
+            and self._rung == 0
         )
 
         state = refill(state)
+        drain_cont = None
         while pending:
-            if can_drain and input_done and pending <= max(8, B // 4):
-                # straggler drain: restart the few remaining reads on a
-                # B/8-wide mapper instead of paying full-width steps
-                drained = [s.read for s in slots if s is not None]
+            if can_drain and input_done and pending <= max(4, B // 4):
+                # straggler drain: continue the few remaining reads on a
+                # B/4-wide mapper instead of paying full-width steps —
+                # by STATE MIGRATION when pooled (no event re-burn),
+                # restart otherwise
+                dm = self._get_drain()
+                keep = [b for b in range(B) if slots[b] is not None]
+                mig = self._try_migrate(dm, state, keep)
+                if mig is not None:
+                    dslots = [slots[b] for b in keep]
+                    dslots += [None] * (dm.eng.params.B - len(keep))
+                    drain_cont = (dm, dslots, mig, len(keep))
+                else:
+                    drained = [s.read for s in slots if s is not None]
                 slots = [None] * B
                 pending = 0
                 break
@@ -402,8 +443,18 @@ class BatchMapper:
                     pending -= 1
             state = refill(state)
 
-        if drained:
-            yield from self._get_drain().map_reads(drained)
+        if drain_cont is not None:
+            dm, dslots, mig, dn = drain_cont
+            yield from dm._run(iter(()), dslots, mig, dn, True, overflowed)
+        elif drained:
+            dm = self._get_drain()
+            yield from dm._run(
+                iter(drained), [None] * dm.eng.params.B,
+                dm.eng.fresh_state(), 0, False, overflowed,
+            )
+
+        if ovf_sink is not None:
+            return  # ejects routed by the entry mapper
 
         if overflowed:
             # pooled entry tier: ejects are PHYSICAL pool cuts — the

@@ -1182,6 +1182,63 @@ def _pool_event_step(idx, p: PoolParams, st, ev, ev_on):
     return out
 
 
+def migrate_pool_state(src_p: PoolParams, dst_p: PoolParams, state, sel):
+    """Move selected reads' state into a (smaller) pooled engine's shape.
+
+    ``sel`` [B_dst] holds source read rows (-1 = empty destination slot).
+    Per-read arrays row-gather; each read's contiguous pool segment is
+    relocated to its new exclusive-cumsum offset (the same
+    position-arithmetic the assembly uses).  This is what lets the
+    straggler drain CONTINUE reads on a narrow batch instead of
+    restarting them — a restart re-burns the read's whole event history
+    at drain step cost, which for the long repeat-heavy stragglers was
+    most of the drain's wall."""
+    import jax
+
+    jnp = _jnp()
+    i32 = jnp.int32
+    Bs, Ss = src_p.B, src_p.S
+    Bd, Sd = dst_p.B, dst_p.S
+    valid = sel >= 0
+    selc = jnp.clip(sel, np.int32(0), np.int32(Bs - 1))
+    fresh = make_pool_state(dst_p)
+    out = {}
+    for k, v in state.items():
+        if k.startswith("q_"):
+            continue
+        g = jnp.take(v, selc, axis=0)
+        w = valid
+        while w.ndim < g.ndim:
+            w = w[..., None]
+        out[k] = jnp.where(w, g, fresh[k])
+    n_new = jnp.where(valid, jnp.take(state["n_paths"], selc), 0)
+    out["n_paths"] = n_new
+    off_src = jnp.concatenate(
+        [jnp.zeros((1,), i32), jnp.cumsum(state["n_paths"], dtype=i32)]
+    )
+    new_off = jnp.concatenate(
+        [jnp.zeros((1,), i32), jnp.cumsum(n_new, dtype=i32)]
+    )
+    j = jax.lax.iota(i32, Sd)
+    k_read = jnp.clip(_bucket_of(new_off[:-1], Sd), np.int32(0), np.int32(Bd - 1))
+    within = j - _flat_take(new_off, k_read, False)
+    src_b = _flat_take(jnp.take(off_src, selc), k_read, False)
+    src_idx = jnp.clip(src_b + within, np.int32(0), np.int32(Ss - 1))
+    ok = j < new_off[-1]
+    flds = ["q_start", "q_end", "q_kmer", "q_total", "q_consec",
+            "q_moves", "q_sa"]
+    got = _flat_pack([state[f] for f in flds], src_idx, False)
+    for f, g in zip(flds, got):
+        if f == "q_sa":
+            out[f] = ok & g
+        else:
+            out[f] = jnp.where(ok, g, fresh[f])
+    out["q_rid"] = jnp.where(ok, k_read, np.int32(Bd))
+    cum = jnp.take(state["q_cum"], src_idx, axis=0)
+    out["q_cum"] = jnp.where(ok[:, None], cum, jnp.float32(0))
+    return out
+
+
 def pool_advance_block(idx, p: PoolParams, state, means, on):
     """Advance all read slots through T events: means/on are [B, T]."""
     import jax
@@ -1222,6 +1279,25 @@ class PooledEngine:
 
     def fresh_state(self):
         return make_pool_state(self.params)
+
+    def migrate(self, state, sel, dst: "PooledEngine"):
+        """Relocate reads ``sel`` (numpy [B_dst], -1 = empty) into
+        ``dst``'s state shape; see :func:`migrate_pool_state`."""
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        if not hasattr(self, "_migrations"):
+            self._migrations = {}
+        key = (dst.params.B, dst.params.S)
+        fn = self._migrations.get(key)
+        if fn is None:
+            fn = jax.jit(
+                functools.partial(migrate_pool_state, self.params, dst.params)
+            )
+            self._migrations[key] = fn
+        return fn(state, jnp.asarray(np.asarray(sel, np.int32)))
 
     def reset_slots(self, state, mask):
         import jax.numpy as jnp
