@@ -115,7 +115,10 @@ class BatchMapper:
                 and en.pool_wide
             ):
                 slots, CLw = en.pool_wide
-                Bw = max(2, self.eng.params.B // 4)
+                # ejects are a few reads per batch; a B/16 slot array
+                # keeps the wide pool's per-event cost (~prop. to S) low
+                # while still amortizing several concurrent stragglers
+                Bw = max(2, self.eng.params.B // 16)
                 self._next_mapper = BatchMapper(
                     self.fmi, self.model, self.threshes, self.conf,
                     emit_timing=self.emit_timing,
