@@ -22,6 +22,7 @@ FAST_SUBSET = [
 @pytest.fixture(scope="module")
 def bmap(example_index, example_threshes, pore_model):
     conf = Conf()
+    conf.engine.pooled = False  # this file gates the CLASSIC engine
     conf.engine.batch_reads = 4
     return BatchMapper(example_index, pore_model, example_threshes, conf)
 
@@ -58,6 +59,7 @@ def test_remap_ladder_restores_parity(
     """Absurdly narrow budgets must trip the overflow flag and the wide
     remap pass must still deliver byte-identical PAF output."""
     conf = Conf()
+    conf.engine.pooled = False  # this file gates the CLASSIC engine
     conf.engine.batch_reads = 4
     # two tiny rungs so the chain (narrow -> mid -> final) is exercised;
     # the final rung's 1024 paths are a proven-parity budget (fast on CPU)
@@ -160,6 +162,7 @@ def test_sampled_sa_paf_identical(
 ):
     """Sampled-SA engine mode stays byte-identical on golden reads."""
     conf = Conf()
+    conf.engine.pooled = False  # this file gates the CLASSIC engine
     conf.engine.batch_reads = 4
     bm = BatchMapper(
         example_index, pore_model, example_threshes, conf, sampled_sa=True
@@ -177,10 +180,12 @@ def test_device_dsp_wave_matches_host(
     host DSP path (event means differ in the last ulps by design, so the
     gate is positional, not byte)."""
     conf = Conf()
+    conf.engine.pooled = False  # this file gates the CLASSIC engine
     conf.engine.batch_reads = 4
     conf.engine.device_dsp = True
     bm_dev = BatchMapper(example_index, pore_model, example_threshes, conf)
     conf2 = Conf()
+    conf2.engine.pooled = False
     conf2.engine.batch_reads = 4
     bm_host = BatchMapper(example_index, pore_model, example_threshes, conf2)
     rids = FAST_SUBSET
@@ -202,6 +207,7 @@ def test_drain_shrink_preserves_parity(
     """Straggler drain restarts tail reads on a B/8 mapper; byte parity
     must hold through the restart."""
     conf = Conf()
+    conf.engine.pooled = False  # this file gates the CLASSIC engine
     conf.engine.batch_reads = 64  # >= drain threshold, 2 reads <= B//8
     conf.engine.drain_shrink = True
     bm = BatchMapper(example_index, pore_model, example_threshes, conf)

@@ -37,6 +37,7 @@ def test_engine_matches_oracle_at_scale(scale_setup, pore_model):
     want = {r.id: oracle.map_read(r).to_line() for r in reads}
 
     conf = Conf()
+    conf.engine.pooled = False  # this file gates the CLASSIC engine
     conf.engine.batch_reads = 3
     conf.engine.evt_block = 16
     bm = BatchMapper(

@@ -140,7 +140,9 @@ class EngineParams:
     # ACTUAL live paths and the per-read budget is the reference's own
     # max_paths, so the remap ladder only backstops physical pool
     # exhaustion.  pool_slots_per_read sizes the pool (S = B * this).
-    pooled: bool = False
+    # Default engine for batch mapping (the classic fixed-budget engine
+    # remains for the realtime channel-pinned path and as ladder rungs).
+    pooled: bool = True
     pool_slots_per_read: int = 384
     # pool-exhaustion ladder tier: reads that trip a PHYSICAL pool cap
     # rerun on a pooled engine with this many slots/read on B/4 read

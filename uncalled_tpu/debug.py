@@ -26,13 +26,23 @@ def dump_read(bm, read, dbg_prefix: str, max_events: int = 0):
     Returns (paf, n_seed_rows)."""
     import jax.numpy as jnp
 
-    from .mapping.engine import advance_block
+    from .mapping.engine import MapEngine, advance_block
 
     slot = bm._prepare(read)
     means = slot.means
     if max_events:
         means = means[:max_events]
     eng = bm.eng
+    if not isinstance(eng, MapEngine):
+        # the per-event debug tap is a classic-engine feature; build a
+        # wide classic engine for the dump (P=2048 covers the measured
+        # p90 of honest-read path demand; raise via conf for monsters)
+        if not hasattr(bm, "_dbg_engine"):
+            bm._dbg_engine = MapEngine(
+                bm.fmi, bm.model, bm.threshes, bm.conf,
+                B=1, P=2048, C=2048, R=512, CL=2048,
+            )
+        eng = bm._dbg_engine
     state = eng.fresh_state()
     mask = np.zeros(eng.params.B, bool)
     mask[0] = True

@@ -322,7 +322,7 @@ class BatchMapper:
 
         n_paths = np.asarray(jax.device_get(state["n_paths"]))
         if int(n_paths[keep].sum()) > pd.S:
-            return None
+            return "nofit"  # caller may wait for fewer stragglers
         sel = np.full(pd.B, -1, np.int32)
         sel[: len(keep)] = keep
         return self.eng.migrate(state, sel, dm.eng)
@@ -397,15 +397,24 @@ class BatchMapper:
                 dm = self._get_drain()
                 keep = [b for b in range(B) if slots[b] is not None]
                 mig = self._try_migrate(dm, state, keep)
-                if mig is not None:
+                if mig == "nofit" and pending > max(4, B // 8):
+                    # path-heavy stragglers exceed the narrow pool: stay
+                    # on the wide mapper until fewer remain rather than
+                    # restarting (re-burning) all of them
+                    mig = None
+                elif mig == "nofit":
+                    mig = None
+                    drained = [s.read for s in slots if s is not None]
+                elif mig is not None:
                     dslots = [slots[b] for b in keep]
                     dslots += [None] * (dm.eng.params.B - len(keep))
                     drain_cont = (dm, dslots, mig, len(keep))
                 else:
                     drained = [s.read for s in slots if s is not None]
-                slots = [None] * B
-                pending = 0
-                break
+                if mig is not None or drained:
+                    slots = [None] * B
+                    pending = 0
+                    break
             means = np.zeros((B, T), np.float32)
             on = np.zeros((B, T), bool)
             for b, s in enumerate(slots):
