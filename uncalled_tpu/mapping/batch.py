@@ -155,6 +155,9 @@ class BatchMapper:
                 emit_timing=self.emit_timing, _rung=self._rung,
                 **{**self._over, "B": Bd},
             )
+            # drain reads are long: double the event block to halve the
+            # per-block dispatch/readout round trips
+            self._drain_mapper.T = min(2 * self.T, 128)
         return self._drain_mapper
 
     def _rung_fits(self, rung_i: int, why: int, dm) -> bool:
