@@ -222,7 +222,9 @@ def main():
     t0 = time.time()
     n_mapped = 0
     n_correct = 0
+    ours = {}
     for paf in bm.map_reads(reads[N_WARM:]):
+        ours[paf.rd_name] = paf.to_line()
         if paf.is_mapped:
             n_mapped += 1
             m = truth[paf.rd_name]
@@ -241,31 +243,29 @@ def main():
         rungs.append(len(m.ovf_why))
         m = m._next_mapper
 
-    # optional accuracy gate vs the unmodified reference binary on the
-    # SAME reads/index (BENCH_RIG=1): fraction of PAF lines that match
-    # byte-for-byte (mt timing tag excluded)
+    # accuracy gate vs the unmodified reference binary on the SAME
+    # reads/index: fraction of PAF lines that match byte-for-byte (mt
+    # timing tag excluded).  BENCH_RIG: 0 = 64-read sample (default,
+    # post-timing, ~1 min of host CPU), 1 = every read, -1 = off.
     rig_agree = None
+    rig_mode = int(os.environ.get("BENCH_RIG", "0"))
     rig_bin = os.path.join(REPO, "tools", "golden_rig", "golden_map")
-    if int(os.environ.get("BENCH_RIG", "0")) and os.path.exists(rig_bin):
+    if rig_mode >= 0 and os.path.exists(rig_bin):
         import subprocess
         import tempfile
 
-        ours = {}
-        conf2 = Conf()
-        conf2.engine.batch_reads = BATCH
-        conf2.engine.evt_block = EVT_BLOCK
-        conf2.engine.remap_wide = conf.engine.remap_wide
-        bm2 = BatchMapper(
-            fmi, load_default(), load_uncl(prefix + ".uncl"), conf2,
-            P=PATHS, C=PATHS, CE=CAND_EXT, R=SEED_ROWS,
-        **({"CL": CLUSTERS} if CLUSTERS else {}),
-        )
-        for paf in bm2.map_reads(reads[N_WARM:]):
-            ours[paf.rd_name] = paf.to_line()
+        rig_reads = reads[N_WARM:]
+        if rig_mode == 0:
+            rig_reads = list(
+                np.random.default_rng(7).choice(
+                    np.asarray(rig_reads, object),
+                    size=min(64, len(rig_reads)), replace=False,
+                )
+            )
         same = 0
         total = 0
         with tempfile.TemporaryDirectory() as td:
-            for r in reads[N_WARM:]:
+            for r in rig_reads:
                 sigf = os.path.join(td, "sig.f32")
                 r.signal.astype("<f4").tofile(sigf)
                 out = subprocess.run(
