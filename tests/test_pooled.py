@@ -108,6 +108,24 @@ def test_pooled_drain_migration_paf_identical(
     assert hasattr(bm.eng, "_migrations"), "migration path must have run"
 
 
+def test_pooled_sampled_sa_paf_identical(
+    example_index, example_threshes, pore_model, make_read, golden_reads,
+    golden_pafs,
+):
+    """Pooled engine with the 1/32-sampled SA (device LF-walk) must stay
+    byte-PAF-identical."""
+    conf = Conf()
+    conf.engine.batch_reads = 4
+    conf.engine.pooled = True
+    conf.engine.pool_slots_per_read = 512
+    bm = BatchMapper(
+        example_index, pore_model, example_threshes, conf,
+        sampled_sa=True, sa_intv=32,
+    )
+    rids = list(golden_pafs)[:6]
+    run(bm, make_read, golden_reads, golden_pafs, rids)
+
+
 def test_pooled_bitonic_sort_paf_identical(
     example_index, example_threshes, pore_model, make_read, golden_reads,
     golden_pafs,
