@@ -106,6 +106,24 @@ def main():
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    # the remote TPU pool occasionally refuses/hangs backend init for a
+    # while (observed ~25 min hang then UNAVAILABLE); retry before
+    # giving the whole bench up
+    for attempt in range(3):
+        try:
+            devs = jax.devices()
+            sys.stderr.write(f"devices: {devs}\n")
+            break
+        except RuntimeError as e:
+            sys.stderr.write(f"backend init attempt {attempt + 1}: {e}\n")
+            if attempt == 2:
+                raise
+            time.sleep(120)
+            try:
+                jax.clear_backends()
+            except Exception:
+                pass
+
     prefix, reads_npz = ensure_assets()
 
     from uncalled_tpu.config import Conf
