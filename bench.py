@@ -196,6 +196,7 @@ def main():
 
     def _patch(mp, tag):
         oa = mp.eng.advance
+        orr = mp.eng.readout
 
         def adv(state, means_, on_):
             t0_ = time.time()
@@ -206,7 +207,16 @@ def main():
             e[1] += time.time() - t0_
             return s
 
+        def ro(state):
+            t0_ = time.time()
+            r = orr(state)
+            e = tele.setdefault(tag + ":ro", [0, 0.0])
+            e[0] += 1
+            e[1] += time.time() - t0_
+            return r
+
         mp.eng.advance = adv
+        mp.eng.readout = ro
 
     _patch(bm, "rung0")
     # mappers already built by the warm block
