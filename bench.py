@@ -270,6 +270,17 @@ def main():
     while m is not None:
         rungs.append(len(m.ovf_why))
         m = m._next_mapper
+    # per-read demand maxima (flags/valid/paths/rows) from the entry
+    # rung: distribution tails size the pools
+    dmstats = {}
+    if bm.demand:
+        dmv = np.array(list(bm.demand.values()))  # [n, 4]
+        for i, k in enumerate(("flags", "valid", "paths", "rows")):
+            dmstats[k] = [
+                int(np.percentile(dmv[:, i], 50)),
+                int(np.percentile(dmv[:, i], 99)),
+                int(dmv[:, i].max()),
+            ]
 
     # accuracy gate vs the unmodified reference binary on the SAME
     # reads/index: fraction of PAF lines that match byte-for-byte (mt
@@ -329,6 +340,7 @@ def main():
                     "mapper_blocks": {
                         k: [v[0], round(v[1], 1)] for k, v in tele.items()
                     },
+                    "demand_p50_p99_max": dmstats,
                     **({"rig_agree": rig_agree} if rig_agree is not None else {}),
                 },
             }
