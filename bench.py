@@ -333,6 +333,7 @@ def main():
                     "mapped_frac": round(n_mapped / N_READS, 4),
                     "correct_frac": round(n_correct / N_READS, 4),
                     "wall_s": round(dt, 2),
+                    "ms_per_read": round(dt * 1000 / N_READS, 2),
                     "batch": BATCH,
                     "paths": PATHS,
                     "remapped": rungs[0] if rungs else 0,
