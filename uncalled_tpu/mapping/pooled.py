@@ -543,8 +543,8 @@ def _pool_event_step(idx, p: PoolParams, st, ev, ev_on):
         [jnp.zeros((1,), i32), jnp.cumsum(st["n_paths"], dtype=i32)]
     )  # [B+1]
     # one slot-space broadcast serves all step-start read scalars
-    al_slot, run_slot, off_slot = _flat_pack(
-        [alive, alive | st["done"], off[:-1]], ridc, p.mxu
+    al_slot, run_slot = _flat_pack(
+        [alive, alive | st["done"]], ridc, p.mxu
     )
     slot_alive = owned & al_slot & (st["q_total"] > 0)
 
@@ -782,7 +782,6 @@ def _pool_event_step(idx, p: PoolParams, st, ev, ev_on):
     # two rid-contiguous streams (ended entries in pool order, candidate
     # seeds in sorted order; ended-before-candidates per read) merge by
     # position arithmetic — no flat sort
-    ent_valid = jnp.concatenate([e_rows > 0, seed_c])
     ent_rows_all = jnp.concatenate([e_rows, seed_c.astype(i32)])
     ent_st_all = jnp.concatenate([st["q_start"], ns_s])
     ent_mc_all = jnp.concatenate([pmc, smc])
@@ -1032,7 +1031,6 @@ def _pool_event_step(idx, p: PoolParams, st, ev, ev_on):
     cls_A = keep & (r_in < g_nd)
     cls_H = keep & (~cls_A) & (r_in < g_nd + g_hgk)
     cls_F = keep & (~cls_A) & (~cls_H) & (r_in < g_nd + g_hgk + g_fk)
-    cls_D = keep & (~cls_A) & (~cls_H) & (~cls_F)
     new_rid = jnp.where(keep, bj, np.int32(B))
 
     idx_A = ck_map.at(g_ckst + r_in, p.mxu)
