@@ -195,28 +195,32 @@ def main():
     tele = {}
 
     def _patch(mp, tag):
+        # advance is timed as pure DISPATCH (no block_until_ready: the
+        # host loop pipelines one block ahead, and forcing a sync here
+        # would serialize it); readout_get carries the actual device
+        # wait, so tag == blocks + host dispatch wall, tag:ro == blocks
+        # + device wait wall.
         oa = mp.eng.advance
-        orr = mp.eng.readout
+        org = mp.eng.readout_get
 
         def adv(state, means_, on_):
             t0_ = time.time()
             s = oa(state, means_, on_)
-            _jx.block_until_ready(s["evt_i"])
             e = tele.setdefault(tag, [0, 0.0])
             e[0] += 1
             e[1] += time.time() - t0_
             return s
 
-        def ro(state):
+        def rog(packed):
             t0_ = time.time()
-            r = orr(state)
+            r = org(packed)
             e = tele.setdefault(tag + ":ro", [0, 0.0])
             e[0] += 1
             e[1] += time.time() - t0_
             return r
 
         mp.eng.advance = adv
-        mp.eng.readout = ro
+        mp.eng.readout_get = rog
 
     _patch(bm, "rung0")
     # mappers already built by the warm block

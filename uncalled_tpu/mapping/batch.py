@@ -391,12 +391,22 @@ class BatchMapper:
 
         state = refill(state)
         drain_cont = None
-        while pending:
-            if can_drain and input_done and pending <= max(4, B // 4):
-                # straggler drain: continue the few remaining reads on a
-                # B/4-wide mapper instead of paying full-width steps —
-                # by STATE MIGRATION when pooled (no event re-burn),
-                # restart otherwise
+        # Speculative double-buffering (PERF.md): dispatch block k+1 and
+        # its readout BEFORE fetching block k's readout, so host work
+        # (readout transfer, harvest, DSP, refill) overlaps device
+        # compute.  Done slots are frozen by the engine's alive mask, so
+        # feeding a just-finished read one extra block is a no-op; newly
+        # refilled reads start at block k+2.  ``pend`` holds the one
+        # in-flight block: (readout handle, [(slot idx, slot, fed_after)]).
+        pend = None
+        while pending or pend is not None:
+            thresh = max(4, B // 4)
+            want_drain = can_drain and input_done and pending <= thresh
+            if pend is None and pending and want_drain:
+                # straggler drain (pipeline empty, state fully settled):
+                # continue the few remaining reads on a B/4-wide mapper
+                # instead of paying full-width steps — by STATE MIGRATION
+                # when pooled (no event re-burn), restart otherwise
                 dm = self._get_drain()
                 keep = [b for b in range(B) if slots[b] is not None]
                 mig = self._try_migrate(dm, state, keep)
@@ -405,6 +415,7 @@ class BatchMapper:
                     # on the wide mapper until fewer remain rather than
                     # restarting (re-burning) all of them
                     mig = None
+                    want_drain = False
                 elif mig == "nofit":
                     mig = None
                     drained = [s.read for s in slots if s is not None]
@@ -418,45 +429,56 @@ class BatchMapper:
                     slots = [None] * B
                     pending = 0
                     break
-            means = np.zeros((B, T), np.float32)
-            on = np.zeros((B, T), bool)
-            for b, s in enumerate(slots):
-                if s is None:
-                    continue
-                nxt = s.means[s.fed : s.fed + T]
-                means[b, : len(nxt)] = nxt
-                on[b, : len(nxt)] = True
-                s.fed += len(nxt)
-            state = self.eng.advance(state, means, on)
-            ro = self.eng.readout(state)
-            for b, s in enumerate(slots):
-                if s is None:
-                    continue
-                exhausted = s.fed >= len(s.means)
-                # EARLY EJECT: once the sticky overflow flag is set this
-                # rung's result will be discarded in favor of a wider
-                # remap, so free the slot now instead of letting the
-                # (possibly path-lost) read burn its whole event stream
-                if remap and ro["ovf"][b]:
-                    self.ovf_why[s.read.id] = int(ro["ovf_why"][b])
-                    self.demand[s.read.id] = dm = (
-                        int(ro["dm_flags"][b]), int(ro["dm_valid"][b]),
-                        int(ro["dm_paths"][b]), int(ro["dm_rows"][b]),
-                    )
-                    overflowed.append((s.read, int(ro["ovf_why"][b]), dm))
-                    slots[b] = None
-                    pending -= 1
-                elif ro["done"][b] or exhausted:
-                    if ro["ovf"][b]:
+            if pending and not want_drain:
+                means = np.zeros((B, T), np.float32)
+                on = np.zeros((B, T), bool)
+                snap = []
+                for b, s in enumerate(slots):
+                    if s is None:
+                        continue
+                    nxt = s.means[s.fed : s.fed + T]
+                    means[b, : len(nxt)] = nxt
+                    on[b, : len(nxt)] = True
+                    s.fed += len(nxt)
+                    snap.append((b, s, s.fed))
+                state = self.eng.advance(state, means, on)
+                new_pend = (self.eng.readout_start(state), snap)
+            else:
+                new_pend = None
+            if pend is not None:
+                ro = self.eng.readout_get(pend[0])
+                for b, s, fed_after in pend[1]:
+                    if slots[b] is not s:
+                        continue  # harvested at an earlier block
+                    exhausted = fed_after >= len(s.means)
+                    # EARLY EJECT: once the sticky overflow flag is set
+                    # this rung's result will be discarded in favor of a
+                    # wider remap, so free the slot now instead of
+                    # letting the (possibly path-lost) read burn its
+                    # whole event stream
+                    if remap and ro["ovf"][b]:
                         self.ovf_why[s.read.id] = int(ro["ovf_why"][b])
-                    self.demand[s.read.id] = (
-                        int(ro["dm_flags"][b]), int(ro["dm_valid"][b]),
-                        int(ro["dm_paths"][b]), int(ro["dm_rows"][b]),
-                    )
-                    yield self._finalize(s, ro, b)
-                    slots[b] = None
-                    pending -= 1
-            state = refill(state)
+                        self.demand[s.read.id] = dm = (
+                            int(ro["dm_flags"][b]), int(ro["dm_valid"][b]),
+                            int(ro["dm_paths"][b]), int(ro["dm_rows"][b]),
+                        )
+                        overflowed.append((s.read, int(ro["ovf_why"][b]), dm))
+                        slots[b] = None
+                        pending -= 1
+                    elif ro["done"][b] or exhausted:
+                        if ro["ovf"][b]:
+                            self.ovf_why[s.read.id] = int(ro["ovf_why"][b])
+                        self.demand[s.read.id] = (
+                            int(ro["dm_flags"][b]), int(ro["dm_valid"][b]),
+                            int(ro["dm_paths"][b]), int(ro["dm_rows"][b]),
+                        )
+                        yield self._finalize(s, ro, b)
+                        slots[b] = None
+                        pending -= 1
+                # refill resets slots on the LATEST dispatched state, so
+                # new reads join the block after the in-flight one
+                state = refill(state)
+            pend = new_pend
 
         if drain_cont is not None:
             dm, dslots, mig, dn = drain_cont

@@ -1279,12 +1279,12 @@ class MapEngine:
         "mm_len", "mm_ref_st", "mm_r1", "mm_r2e", "mm_evt_st", "mm_evt_en",
     )
 
-    def readout(self, state):
-        """Pull per-read lifecycle + decision fields to host numpy.
+    def readout_start(self, state):
+        """Dispatch the packed [K, B] readout (async, no host block).
 
-        Packed on device into ONE [K, B] i32 array first: a device_get
-        per field is a full round trip over the (remote) device link,
-        and the host loop reads these every block."""
+        Splitting dispatch from fetch lets the host loop pipeline: it
+        dispatches the NEXT advance before fetching this block's
+        readout, so DSP/finalize/refill overlap device compute."""
         import jax
 
         keys = self.READOUT_KEYS
@@ -1297,8 +1297,18 @@ class MapEngine:
                 )
 
             self._readout_pack = jax.jit(_pack)
-        packed = np.asarray(jax.device_get(self._readout_pack(state)))
-        out = dict(zip(keys, packed))
+        return self._readout_pack(state)
+
+    def readout_get(self, packed):
+        """Block on a :meth:`readout_start` handle -> host numpy dict.
+        One device_get round trip per block (the link is remote)."""
+        import jax
+
+        out = dict(zip(self.READOUT_KEYS, np.asarray(jax.device_get(packed))))
         for k in ("done", "success", "ovf"):
             out[k] = out[k].astype(bool)
         return out
+
+    def readout(self, state):
+        """Pull per-read lifecycle + decision fields to host numpy."""
+        return self.readout_get(self.readout_start(state))

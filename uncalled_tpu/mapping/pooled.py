@@ -1309,22 +1309,18 @@ class PooledEngine:
         on = jnp.asarray(on, dtype=bool)
         return self._advance(state, means, on)
 
-    def readout(self, state):
-        """One packed [K, B] transfer per block (see MapEngine.readout)."""
-        import jax
+    # packed [K, B] readout, split into async dispatch + blocking fetch
+    # exactly like MapEngine's (one transfer per block; pipelinable)
+    READOUT_KEYS = None  # set below to MapEngine.READOUT_KEYS
 
-        from .engine import MapEngine
+    readout_start = None
+    readout_get = None
+    readout = None
 
-        keys = MapEngine.READOUT_KEYS
-        if not hasattr(self, "_readout_pack"):
-            import jax.numpy as jnp
 
-            def _pack(st):
-                return jnp.stack([st[k].astype(jnp.int32) for k in keys])
+from .engine import MapEngine as _ME  # noqa: E402
 
-            self._readout_pack = jax.jit(_pack)
-        packed = np.asarray(jax.device_get(self._readout_pack(state)))
-        out = dict(zip(keys, packed))
-        for k in ("done", "success", "ovf"):
-            out[k] = out[k].astype(bool)
-        return out
+PooledEngine.READOUT_KEYS = _ME.READOUT_KEYS
+PooledEngine.readout_start = _ME.readout_start
+PooledEngine.readout_get = _ME.readout_get
+PooledEngine.readout = _ME.readout
