@@ -203,12 +203,15 @@ def main():
         oa = mp.eng.advance
         org = mp.eng.readout_get
 
+        blocks_log = tele.setdefault(tag + ":blocks", [])
+
         def adv(state, means_, on_):
             t0_ = time.time()
             s = oa(state, means_, on_)
             e = tele.setdefault(tag, [0, 0.0])
             e[0] += 1
             e[1] += time.time() - t0_
+            blocks_log.append([round(time.time() - t0_, 2), None])
             return s
 
         def rog(packed):
@@ -217,6 +220,8 @@ def main():
             e = tele.setdefault(tag + ":ro", [0, 0.0])
             e[0] += 1
             e[1] += time.time() - t0_
+            if blocks_log and blocks_log[-1][1] is None:
+                blocks_log[-1][1] = round(time.time() - t0_, 2)
             return r
 
         mp.eng.advance = adv
@@ -268,6 +273,11 @@ def main():
                 n_correct += 1
     dt = time.time() - t0
     reads_per_sec = N_READS / dt
+    # per-block (dispatch_s, ro_wait_s) distribution to stderr: a few
+    # huge blocks = hidden compiles/stalls, uniform = structural cost
+    for k, v in tele.items():
+        if k.endswith(":blocks") and v:
+            sys.stderr.write(f"{k}: {v}\n")
     # per-rung ejection counts (rung i's ovf_why dict records its ejects)
     rungs = []
     m = bm
@@ -343,7 +353,9 @@ def main():
                     "remapped": rungs[0] if rungs else 0,
                     "rung_ejects": rungs,
                     "mapper_blocks": {
-                        k: [v[0], round(v[1], 1)] for k, v in tele.items()
+                        k: [v[0], round(v[1], 1)]
+                        for k, v in tele.items()
+                        if not k.endswith(":blocks")
                     },
                     "demand_p50_p99_max": dmstats,
                     **({"rig_agree": rig_agree} if rig_agree is not None else {}),

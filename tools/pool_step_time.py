@@ -57,19 +57,64 @@ def main():
     rng = np.random.default_rng(0)
     state = eng.fresh_state()
     state = eng.reset_slots(state, np.ones((B,), bool))
-    means = rng.normal(90.0, 12.0, size=(B, T)).astype(np.float32)
-    on = np.ones((B, T), bool)
+
+    # POOLT_REAL=1: feed REAL normalized event means from the bench read
+    # set (per-read sequential blocks) instead of synthetic noise, so the
+    # pool/tracker see the true path populations.  Distinguishes
+    # data-dependent step cost from loop-structure cost.
+    real = bool(int(os.environ.get("POOLT_REAL", "0")))
+    if real:
+        import json as _json
+
+        from uncalled_tpu.mapping.batch import normalize_events
+        from uncalled_tpu.poremodel import load_default as _ld
+        from uncalled_tpu import native
+
+        _, reads_npz = benchmod.ensure_assets()
+        d = np.load(reads_npz, allow_pickle=True)
+        meta = _json.loads(str(d["meta"]))
+        conf2 = Conf()
+        blocks = []
+        slot_means = []
+        for i in range(B):
+            ev = native.detect_events(
+                d[f"sig_{i}"], conf2.event_detector.min_mean,
+                conf2.event_detector.max_mean,
+            )
+            nm, _, _ = normalize_events(
+                ev["mean"], conf2.normalizer.tgt_mean,
+                conf2.normalizer.tgt_stdv,
+            )
+            slot_means.append(nm)
+        feed = [0] * B
+        for _ in range(ITERS + 1):
+            m = np.zeros((B, T), np.float32)
+            on_ = np.zeros((B, T), bool)
+            for b in range(B):
+                nxt = slot_means[b][feed[b] : feed[b] + T]
+                if len(nxt) == 0:  # wrap: restart the read's stream
+                    feed[b] = 0
+                    nxt = slot_means[b][: T]
+                m[b, : len(nxt)] = nxt
+                on_[b, : len(nxt)] = True
+                feed[b] += len(nxt)
+            blocks.append((m, on_))
+    else:
+        m = rng.normal(90.0, 12.0, size=(B, T)).astype(np.float32)
+        on_ = np.ones((B, T), bool)
+        blocks = [(m, on_)] * (ITERS + 1)
 
     # warm (compile)
-    state = eng.advance(state, means, on)
+    state = eng.advance(state, *blocks[0])
     jax.block_until_ready(state["evt_i"])
 
     t0 = time.time()
-    for _ in range(ITERS):
-        state = eng.advance(state, means, on)
+    for mb, ob in blocks[1:]:
+        state = eng.advance(state, mb, ob)
     jax.block_until_ready(state["evt_i"])
     dt = time.time() - t0
     tag = os.environ.get("UNCALLED_POOL_KNOCKOUT", "full") or "full"
+    tag += "+real" if real else ""
     print(f"{tag}\t{dt / (ITERS * T) * 1000:.2f} ms/event", flush=True)
 
 
