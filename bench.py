@@ -176,8 +176,14 @@ def main():
             np.zeros((m.eng.params.B, m.T), np.float32),
             np.zeros((m.eng.params.B, m.T), bool),
         )
+        m.eng.readout(st)  # compiles the readout pack too
         _jax.block_until_ready(st["evt_i"])
 
+    # the 8-read warmup map_reads migrates straight to the drain mapper
+    # (8 <= the drain threshold), so it never compiles the ENTRY rung's
+    # advance — warm it explicitly or the first timed block eats a
+    # 90-150 s compile (exactly what the per-block telemetry caught)
+    warm(bm)
     if conf.engine.drain_shrink:
         d = bm
         while d.eng.params.B >= 64:  # the whole drain chain

@@ -551,30 +551,22 @@ def _pool_event_step(idx, p: PoolParams, st, ev, ev_on):
     # ---- candidate flags in creation order -------------------------------
     pv = slot_alive
     fmlen = st["q_end"] - st["q_start"] + 1
-    # one gather serves stay prob, 4 move probs and the fm-bin threshold:
-    # per-read table rows = [256 prob rows (4 lanes each), NT/4 thresh rows]
-    NT = idx["threshes"].shape[0]
-    NT4 = NT // 4
-    TR = KMER_COUNT // 4 + NT4
-    tbl4 = jnp.concatenate(
+    # fused per-k-mer prob rows: lane 0 = stay prob (probs[k]), lanes
+    # 1-4 = the 4 move probs (probs[((k<<2)&1023)|b], which depends only
+    # on k mod 256 — a reshape+tile, no gather), so ONE [S]-index gather
+    # serves stay + all moves with no lane-select pass
+    ptab = jnp.concatenate(
         [
-            probs.reshape(B, KMER_COUNT // 4, 4),
-            jnp.broadcast_to(
-                idx["threshes"].reshape(NT4, 4)[None], (B, NT4, 4)
-            ),
+            probs[:, :, None],
+            jnp.tile(probs.reshape(B, KMER_COUNT // 4, 4), (1, 4, 1)),
         ],
-        axis=1,
-    ).reshape(B * TR, 4)
-    fm_bin = _fm_bin(fmlen)
-    base_row = ridc * np.int32(TR)
-    allk3 = jnp.concatenate(
-        [
-            base_row + (st["q_kmer"] >> 2),
-            base_row + (st["q_kmer"] & (KMER_COUNT // 4 - 1)),
-            base_row + np.int32(KMER_COUNT // 4) + (fm_bin >> 2),
-        ]
-    )  # [3S]
-    g3 = _flat_take(tbl4, allk3, p.mxu)  # [3S, 4]
+        axis=2,
+    ).reshape(B * KMER_COUNT, 5)
+    g5 = _flat_take(
+        ptab, ridc * np.int32(KMER_COUNT) + st["q_kmer"], p.mxu
+    )  # [S, 5]
+    stay_p = g5[:, 0]
+    mv_p = g5[:, 1:]  # [S, 4]
     lane = lambda g4, j: jnp.sum(
         jnp.where(
             jax.lax.broadcasted_iota(i32, g4.shape, 1) == j[:, None],
@@ -582,12 +574,19 @@ def _pool_event_step(idx, p: PoolParams, st, ev, ev_on):
         ),
         axis=1,
     )
-    stay_p = lane(g3[:S], st["q_kmer"] & 3)
-    mv_p = g3[S : 2 * S]  # [S, 4]
-    thresh = lane(g3[2 * S :], fm_bin & 3)
+    # fm-bin thresholds: tiny per-read [NT/4, 4] table, one [S] gather
+    fm_bin = _fm_bin(fmlen)
+    NT = idx["threshes"].shape[0]
+    NT4 = NT // 4
+    ttab = jnp.broadcast_to(
+        idx["threshes"].reshape(NT4, 4)[None], (B, NT4, 4)
+    ).reshape(B * NT4, 4)
+    gt = _flat_take(ttab, ridc * np.int32(NT4) + (fm_bin >> 2), p.mxu)
+    thresh = lane(gt, fm_bin & 3)
     stay_f = pv & (st["q_consec"] < p.max_consec_stay) & (stay_p >= thresh)
     # NaN-threshold polarity parity (mapper.cpp:471,489)
     mv_f = pv[:, None] & ~(mv_p < thresh[:, None])
+
     flags = jnp.concatenate([stay_f[:, None], mv_f], axis=1)  # [S, 5]
 
     # ---- compact to the candidate pool (global, order-preserving) --------
@@ -852,15 +851,26 @@ def _pool_event_step(idx, p: PoolParams, st, ev, ev_on):
     rr_evti = _flat_take(st["evt_i"], jnp.minimum(rr_rid, B - 1), False)
     rr_evt = jnp.where(rr_end, rr_evti - 1, rr_evti)
 
-    # rows -> [B, R] (rows are rid-sorted after the entry sort)
-    rows_r = jnp.sum(
-        (rr_rid[:, None] == jnp.arange(B, dtype=i32)[None, :]).astype(i32),
-        axis=0, dtype=i32,
-    )  # [B] per-read row counts
-    roff = jnp.concatenate([jnp.zeros((1,), i32), jnp.cumsum(rows_r, dtype=i32)])
+    # rows -> [B, R] (rows are rid-sorted after the entry sort).  Rows
+    # compact in entry order, so read b's window in the row stream is
+    # the per-entry row-count cumsum read at its entry boundaries —
+    # replaces a [RT, B] broadcast histogram AND attributes the RT cap:
+    # a batch-aggregate spill past RT used to go unflagged when every
+    # per-read count stayed under R.
+    growc = jnp.cumsum(g_rows, dtype=i32)
+    growc_pad = jnp.concatenate([jnp.zeros((1,), i32), growc])
+    rw_b = _flat_take(
+        growc_pad, jnp.minimum(off_ent, np.int32(RE)), False
+    )  # [B+1] wanted-row boundaries
+    want_rows_r = rw_b[1:] - rw_b[:-1]
+    st_w = jnp.minimum(rw_b[:-1], np.int32(RT))
+    rows_r = jnp.minimum(rw_b[1:], np.int32(RT)) - st_w  # actual rows
     row_ids = jnp.arange(R, dtype=i32)
-    gidx = roff[:-1][:, None] + row_ids[None, :]  # [B, R]
-    row_ok2 = (row_ids[None, :] < rows_r[:, None]) & alive[:, None]
+    gidx = st_w[:, None] + row_ids[None, :]  # [B, R]
+    row_ok2 = (
+        (row_ids[None, :] < jnp.minimum(rows_r, np.int32(R))[:, None])
+        & alive[:, None]
+    )
     gi = jnp.minimum(gidx, np.int32(RT - 1)).reshape(B * R)
     b_ref_en, b_mc, b_evt = _flat_pack(
         [ref_en_flat, rr_mc, rr_evt], gi, p.mxu
@@ -868,7 +878,7 @@ def _pool_event_step(idx, p: PoolParams, st, ev, ev_on):
     b_ref_en = b_ref_en.reshape(B, R)
     b_mc = b_mc.reshape(B, R)
     b_evt = b_evt.reshape(B, R)
-    rows_cut_r = rows_r > R
+    rows_cut_r = (want_rows_r > R) | (rows_r != want_rows_r)
 
     tstate = {
         k: st[k]
@@ -998,11 +1008,13 @@ def _pool_event_step(idx, p: PoolParams, st, ev, ev_on):
         jnp.minimum(n_full_r, np.int32(FS)),
         jnp.maximum(PC - nc_r - hgk_r, 0),
     )
-    carried_r = jnp.sum(
-        (jnp.where(carried, rid, np.int32(B))[:, None]
-         == jnp.arange(B, dtype=i32)[None, :]).astype(i32),
-        axis=0, dtype=i32,
-    )
+    # carried slots live inside their owner's contiguous segment, so the
+    # per-read count is a cumsum read at the segment boundaries (the
+    # [S, B] broadcast histogram this replaces was ~25M VPU ops)
+    ccar = jnp.cumsum(carried, dtype=i32)
+    ccar_pad = jnp.concatenate([jnp.zeros((1,), i32), ccar])
+    car_b = _flat_take(ccar_pad, off, False)  # [B+1]
+    carried_r = car_b[1:] - car_b[:-1]
     want_r = nondup_r + hgk_r + fk_r + carried_r
     off_new = jnp.concatenate(
         [jnp.zeros((1,), i32), jnp.cumsum(want_r, dtype=i32)]
@@ -1013,10 +1025,12 @@ def _pool_event_step(idx, p: PoolParams, st, ev, ev_on):
     )
     cut_pool_r = kept_r != want_r
 
-    # compaction position -> source index maps for the two masked
-    # streams, queried lazily at the S assembly slots only
-    ck_map = _CompactMap(child_keep)
-    hg_map = _CompactMap(hg_v)
+    # ONE compaction map over the concatenated (child_keep ++ hg) masks:
+    # its source space IS the unified record table's A+H region (A
+    # sources at [0, SC), H at [SC, 3SC)), and a class-H query is just
+    # offset by the global child-keep total — halves the per-slot
+    # at()-query gathers vs two separate maps
+    ah_map = _CompactMap(jnp.concatenate([child_keep, hg_v]))
 
     j_out = jax.lax.iota(i32, S)
     bj = jnp.clip(_bucket_of(off_new[:-1], S), np.int32(0), np.int32(B - 1))
@@ -1033,8 +1047,14 @@ def _pool_event_step(idx, p: PoolParams, st, ev, ev_on):
     cls_F = keep & (~cls_A) & (~cls_H) & (r_in < g_nd + g_hgk + g_fk)
     new_rid = jnp.where(keep, bj, np.int32(B))
 
-    idx_A = ck_map.at(g_ckst + r_in, p.mxu)
-    idx_H = hg_map.at(g_hgst + (r_in - g_nd), p.mxu)
+    # A/H source lookup: one fused query — class-H ranks offset by the
+    # global child-keep total land in the map's hg region, whose source
+    # indices are ALREADY the unified table's H rows [SC, 3SC)
+    n_ck = ckcum_pad[-1]
+    q_ah = jnp.where(
+        cls_H, n_ck + g_hgst + (r_in - g_nd), g_ckst + r_in
+    )
+    idx_AH = ah_map.at(q_ah, p.mxu)
     idx_F = jnp.clip(
         bj * np.int32(FS) + (r_in - g_nd - g_hgk),
         np.int32(0), np.int32(B * FS - 1),
@@ -1060,10 +1080,9 @@ def _pool_event_step(idx, p: PoolParams, st, ev, ev_on):
         [idx["kmer_st"], idx["kmer_en"]], fkm_full, p.mxu
     )
     f_rid_full = jax.lax.div(jax.lax.iota(i32, B * FS), np.int32(FS))
-    f_prob_full = lane(
-        _flat_take(tbl4, f_rid_full * np.int32(TR) + (fkm_full >> 2), p.mxu),
-        fkm_full & 3,
-    )
+    f_prob_full = _flat_take(
+        ptab, f_rid_full * np.int32(KMER_COUNT) + fkm_full, p.mxu
+    )[:, 0]
     NU = 3 * SC + B * FS + S
 
     def ucol(a_part, h_part, f_part, d_part):
@@ -1093,13 +1112,10 @@ def _pool_event_step(idx, p: PoolParams, st, ev, ev_on):
     )
 
     src_u = jnp.where(
-        cls_A, idx_A,
+        cls_A | cls_H, idx_AH,
         jnp.where(
-            cls_H, np.int32(SC) + idx_H,
-            jnp.where(
-                cls_F, np.int32(3 * SC) + idx_F,
-                np.int32(3 * SC + B * FS) + idx_D,
-            ),
+            cls_F, np.int32(3 * SC) + idx_F,
+            np.int32(3 * SC + B * FS) + idx_D,
         ),
     )
     (g_start, g_end, g_kmer, g_total, g_consec, g_moves, g_sa, g_rsrc,
@@ -1170,7 +1186,7 @@ def _pool_event_step(idx, p: PoolParams, st, ev, ev_on):
     out["dm_flags"] = upd(st["dm_flags"], n_flags_r)
     out["dm_valid"] = upd(st["dm_valid"], n_valid_r)
     out["dm_paths"] = upd(st["dm_paths"], want_r)
-    out["dm_rows"] = upd(st["dm_rows"], rows_r)
+    out["dm_rows"] = upd(st["dm_rows"], want_rows_r)
 
     dec = _tracker_decide(p, out) & alive
     out["done"] = st["done"] | dec
