@@ -286,9 +286,12 @@ def main():
             sys.stderr.write(f"{k}: {v}\n")
     # per-rung ejection counts (rung i's ovf_why dict records its ejects)
     rungs = []
+    why_hist: dict = {}
     m = bm
     while m is not None:
         rungs.append(len(m.ovf_why))
+        for w in m.ovf_why.values():
+            why_hist[w] = why_hist.get(w, 0) + 1
         m = m._next_mapper
     # per-read demand maxima (flags/valid/paths/rows) from the entry
     # rung: distribution tails size the pools
@@ -358,6 +361,9 @@ def main():
                     "paths": PATHS,
                     "remapped": rungs[0] if rungs else 0,
                     "rung_ejects": rungs,
+                    # ovf bitmask histogram: 1=CL evict, 2=cand pool,
+                    # 4=full-source cap, 8=path pool, 16=row caps
+                    "eject_why": {str(k): v for k, v in why_hist.items()},
                     "mapper_blocks": {
                         k: [v[0], round(v[1], 1)]
                         for k, v in tele.items()

@@ -52,7 +52,12 @@ def main():
     conf = Conf()
     conf.engine.batch_reads = B
     conf.engine.pool_slots_per_read = SLOTS
-    eng = PooledEngine(fmi, load_default(), load_uncl(prefix + ".uncl"), conf)
+    over = {}
+    if os.environ.get("POOLT_MXU") is not None:
+        over["mxu"] = bool(int(os.environ["POOLT_MXU"]))
+    eng = PooledEngine(
+        fmi, load_default(), load_uncl(prefix + ".uncl"), conf, **over
+    )
 
     rng = np.random.default_rng(0)
     state = eng.fresh_state()

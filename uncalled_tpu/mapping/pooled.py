@@ -341,12 +341,13 @@ def _sort1d_bitonic(keys):
     return tuple(k[:N] for k in ks)
 
 
-def _flat_take(tbl, idx, mxu):
+def _flat_take(tbl, idx, mxu, kn=None):
     """Flat shared-table gather.  With ``mxu`` the two-level MXU kernel
     serves it WHEN PROFITABLE (4-plane MAC cost vs XLA's ~10.5 ns/idx:
-    flat_gather.profitable); bit-exact either way."""
+    flat_gather.profitable); bit-exact either way.  ``kn`` names the
+    call site for knockout profiling (UNCALLED_POOL_KNOCKOUT)."""
     jnp = _jnp()
-    if "gathers" in _KNOCKOUT:
+    if "gathers" in _KNOCKOUT or (kn is not None and kn in _KNOCKOUT):
         return jnp.broadcast_to(tbl[0], idx.shape + tbl.shape[1:])
     if mxu:
         from ..ops.flat_gather import flat_gather
@@ -356,15 +357,16 @@ def _flat_take(tbl, idx, mxu):
     return jnp.take(tbl, ix, axis=0)
 
 
-def _flat_pack(fields, idx, mxu):
+def _flat_pack(fields, idx, mxu, kn=None):
     """Gather many same-length flat fields with ONE row gather (f32/bool
     fields bitcast to i32, unpacked on return) — the flat-table analog of
-    engine._pack_gather."""
+    engine._pack_gather.  ``kn`` names the call site for knockout
+    profiling."""
     import jax
 
     jnp = _jnp()
     i32 = jnp.int32
-    if "gathers" in _KNOCKOUT:
+    if "gathers" in _KNOCKOUT or (kn is not None and kn in _KNOCKOUT):
         return [jnp.broadcast_to(f[0], idx.shape) for f in fields]
     cols, kinds = [], []
     for f in fields:
@@ -443,7 +445,7 @@ class _CompactMap:
         self._start = jnp.cumsum(cnt, dtype=i32) - cnt
         self.total = self._start[-1] + cnt[-1]
 
-    def at(self, q, mxu):
+    def at(self, q, mxu, kn=None):
         import jax
 
         jnp = _jnp()
@@ -459,15 +461,15 @@ class _CompactMap:
             self._bucket = _bucket_of(self._start, N)
         qc = jnp.clip(q, np.int32(0), np.int32(N - 1))
         r = jnp.clip(
-            _flat_take(self._bucket, qc, mxu),
+            _flat_take(self._bucket, qc, mxu, kn=kn),
             np.int32(0), np.int32(G - 1),
         )
         q = qc
-        within = q - _flat_take(self._start, r, True)
+        within = q - _flat_take(self._start, r, True, kn=kn)
         src_in_row = _flat_take(
             self._skey,
             r * np.int32(C) + jnp.clip(within, np.int32(0), np.int32(C - 1)),
-            mxu,
+            mxu, kn=kn,
         )
         src = r * np.int32(C) + jnp.minimum(src_in_row, np.int32(C - 1))
         return jnp.minimum(src, np.int32(N - 1))
@@ -563,7 +565,8 @@ def _pool_event_step(idx, p: PoolParams, st, ev, ev_on):
         axis=2,
     ).reshape(B * KMER_COUNT, 5)
     g5 = _flat_take(
-        ptab, ridc * np.int32(KMER_COUNT) + st["q_kmer"], p.mxu
+        ptab, ridc * np.int32(KMER_COUNT) + st["q_kmer"], p.mxu,
+        kn="gprob",
     )  # [S, 5]
     stay_p = g5[:, 0]
     mv_p = g5[:, 1:]  # [S, 4]
@@ -581,7 +584,8 @@ def _pool_event_step(idx, p: PoolParams, st, ev, ev_on):
     ttab = jnp.broadcast_to(
         idx["threshes"].reshape(NT4, 4)[None], (B, NT4, 4)
     ).reshape(B * NT4, 4)
-    gt = _flat_take(ttab, ridc * np.int32(NT4) + (fm_bin >> 2), p.mxu)
+    gt = _flat_take(ttab, ridc * np.int32(NT4) + (fm_bin >> 2), p.mxu,
+                    kn="gprob")
     thresh = lane(gt, fm_bin & 3)
     stay_f = pv & (st["q_consec"] < p.max_consec_stay) & (stay_p >= thresh)
     # NaN-threshold polarity parity (mapper.cpp:471,489)
@@ -623,7 +627,7 @@ def _pool_event_step(idx, p: PoolParams, st, ev, ev_on):
         [st["q_start"], st["q_end"], st["q_kmer"], st["q_total"],
          st["q_consec"], st["q_moves"], st["q_sa"], cumnow_p, wstart_p,
          ridc, stay_p, mv_p[:, 0], mv_p[:, 1], mv_p[:, 2], mv_p[:, 3]],
-        cpar_g, p.mxu,
+        cpar_g, p.mxu, kn="gpar",
     )
     crid = jnp.where(cval, crid, np.int32(B))
     crid_g = jnp.minimum(crid, np.int32(B - 1))
@@ -746,7 +750,7 @@ def _pool_event_step(idx, p: PoolParams, st, ev, ev_on):
     (nk_s, prob_s, ntot_s, nmoves_s, ncons_s, csa_s, newcum_s,
      cpar_s) = _flat_pack(
         [nk, prob, new_tot, nmoves, nconsec, csa, newcum, cpar_g],
-        perm, p.mxu,
+        perm, p.mxu, kn="gsrt",
     )
 
     nxt1 = lambda a, fill: jnp.concatenate([a[1:], jnp.full((1,), fill, a.dtype)])
@@ -873,7 +877,7 @@ def _pool_event_step(idx, p: PoolParams, st, ev, ev_on):
     )
     gi = jnp.minimum(gidx, np.int32(RT - 1)).reshape(B * R)
     b_ref_en, b_mc, b_evt = _flat_pack(
-        [ref_en_flat, rr_mc, rr_evt], gi, p.mxu
+        [ref_en_flat, rr_mc, rr_evt], gi, p.mxu, kn="grow"
     )
     b_ref_en = b_ref_en.reshape(B, R)
     b_mc = b_mc.reshape(B, R)
@@ -943,10 +947,14 @@ def _pool_event_step(idx, p: PoolParams, st, ev, ev_on):
     if "pairc" in _KNOCKOUT:
         present = jnp.zeros((B, KMER_COUNT), bool)
     else:
+        # force=None: the pair-count kernel auto-routes (Pallas on TPU,
+        # XLA one-hot elsewhere) INDEPENDENTLY of p.mxu — p.mxu now only
+        # governs the flat-gather routing, and the XLA one-hot fallback
+        # at [SC, 1024] f32 would be catastrophic on TPU
         present = (
             pair_counts(
                 jnp.where(svalid, rid_s, np.int32(B)), nk_s, B, KMER_COUNT,
-                force=(None if p.mxu else False),
+                force=None,
             )
             > 0
         )
@@ -1054,7 +1062,7 @@ def _pool_event_step(idx, p: PoolParams, st, ev, ev_on):
     q_ah = jnp.where(
         cls_H, n_ck + g_hgst + (r_in - g_nd), g_ckst + r_in
     )
-    idx_AH = ah_map.at(q_ah, p.mxu)
+    idx_AH = ah_map.at(q_ah, p.mxu, kn="gmap")
     idx_F = jnp.clip(
         bj * np.int32(FS) + (r_in - g_nd - g_hgk),
         np.int32(0), np.int32(B * FS - 1),
@@ -1077,11 +1085,12 @@ def _pool_event_step(idx, p: PoolParams, st, ev, ev_on):
     # gathers cost before: FS*B == S)
     fkm_full = f_kmer.reshape(B * FS)
     f_st_full, f_en_full = _flat_pack(
-        [idx["kmer_st"], idx["kmer_en"]], fkm_full, p.mxu
+        [idx["kmer_st"], idx["kmer_en"]], fkm_full, p.mxu, kn="gfull"
     )
     f_rid_full = jax.lax.div(jax.lax.iota(i32, B * FS), np.int32(FS))
     f_prob_full = _flat_take(
-        ptab, f_rid_full * np.int32(KMER_COUNT) + fkm_full, p.mxu
+        ptab, f_rid_full * np.int32(KMER_COUNT) + fkm_full, p.mxu,
+        kn="gfull",
     )[:, 0]
     NU = 3 * SC + B * FS + S
 
@@ -1122,7 +1131,7 @@ def _pool_event_step(idx, p: PoolParams, st, ev, ev_on):
      g_rslot, g_rval) = _flat_pack(
         [u_start, u_end, u_kmer, u_total, u_consec, u_moves, u_sa,
          u_ringsrc, u_ringslot, u_ringval],
-        jnp.minimum(src_u, np.int32(NU - 1)), False,
+        jnp.minimum(src_u, np.int32(NU - 1)), False, kn="gasm",
     )
 
     nq_start = jnp.where(keep, g_start, 0)
@@ -1138,7 +1147,7 @@ def _pool_event_step(idx, p: PoolParams, st, ev, ev_on):
     # slots copy their own ring verbatim (ringslot -1 writes nothing)
     ring_rows = _flat_take(
         st["q_cum"],
-        jnp.clip(g_rsrc, np.int32(0), np.int32(S - 1)), False,
+        jnp.clip(g_rsrc, np.int32(0), np.int32(S - 1)), False, kn="gring",
     )  # [S, RING] f32
     ring_iota = jax.lax.broadcasted_iota(i32, (S, RING), 1)
     base_ring = jnp.where((g_rsrc >= 0)[:, None], ring_rows, f32(0))
