@@ -79,3 +79,28 @@ def test_pair_counts_interpret():
     # XLA fallback agrees
     got2 = np.asarray(FG.pair_counts(jnp.asarray(a), jnp.asarray(b), na, nb, force=False))
     assert np.array_equal(got2, want)
+
+
+@pytest.mark.parametrize("dt", ["i32", "f32", "u32"])
+@pytest.mark.parametrize("n,k", [(4096, 5000), (4093, 2048), (368640, 8192)])
+def test_take1d_lane_trick_exact(dt, n, k):
+    """The 1D->8-lane-row XLA gather trick is bit-exact (incl. NaN
+    payload bits and non-multiple-of-8 table lengths)."""
+    import jax.numpy as jnp
+
+    from uncalled_tpu.ops import flat_gather as FG
+
+    rng = np.random.default_rng(n + k)
+    bits = rng.integers(0, 2**32, (n,), dtype=np.uint32)
+    if dt == "i32":
+        tbl = bits.view(np.int32)
+    elif dt == "u32":
+        tbl = bits
+    else:
+        tbl = bits.view(np.float32)  # every bit pattern incl. NaNs/-0.0
+    idx = rng.integers(0, n, (k,)).astype(np.int32)
+    out = np.asarray(FG._take1d(jnp.asarray(tbl), jnp.asarray(idx)))
+    assert out.dtype == tbl.dtype
+    assert np.array_equal(
+        out.view(np.uint32), tbl[idx].view(np.uint32)
+    )

@@ -55,6 +55,8 @@ def main():
     over = {}
     if os.environ.get("POOLT_MXU") is not None:
         over["mxu"] = bool(int(os.environ["POOLT_MXU"]))
+    if os.environ.get("POOLT_SORT"):
+        over["sort_mode"] = os.environ["POOLT_SORT"]
     eng = PooledEngine(
         fmi, load_default(), load_uncl(prefix + ".uncl"), conf, **over
     )
@@ -113,11 +115,16 @@ def main():
     state = eng.advance(state, *blocks[0])
     jax.block_until_ready(state["evt_i"])
 
+    prof_dir = os.environ.get("POOLT_PROFILE")
+    if prof_dir:
+        jax.profiler.start_trace(prof_dir)
     t0 = time.time()
     for mb, ob in blocks[1:]:
         state = eng.advance(state, mb, ob)
     jax.block_until_ready(state["evt_i"])
     dt = time.time() - t0
+    if prof_dir:
+        jax.profiler.stop_trace()
     tag = os.environ.get("UNCALLED_POOL_KNOCKOUT", "full") or "full"
     tag += "+real" if real else ""
     print(f"{tag}\t{dt / (ITERS * T) * 1000:.2f} ms/event", flush=True)

@@ -90,6 +90,9 @@ class PoolParams:
     # "bitonic" = hybrid row-parallel bitonic merge (_sort1d_bitonic)
     sort_mode: str = "flat"
     mxu: bool = False
+    # seed tracker as the VMEM-resident Pallas kernel (TPU default):
+    # bit-identical to the while_loop fold (tests/test_tracker_kernel.py)
+    tracker_kernel: bool = False
     sampled_sa: bool = False
     sa_intv: int = 32
 
@@ -349,12 +352,12 @@ def _flat_take(tbl, idx, mxu, kn=None):
     jnp = _jnp()
     if "gathers" in _KNOCKOUT or (kn is not None and kn in _KNOCKOUT):
         return jnp.broadcast_to(tbl[0], idx.shape + tbl.shape[1:])
-    if mxu:
-        from ..ops.flat_gather import flat_gather
+    from ..ops.flat_gather import flat_gather
 
-        return flat_gather(tbl, idx)
-    ix = jnp.clip(idx, np.int32(0), np.int32(tbl.shape[0] - 1))
-    return jnp.take(tbl, ix, axis=0)
+    # force=False still routes through flat_gather: its XLA path carries
+    # the 1D->rows lane trick (1D gathers run ~7 ns/idx on TPU even from
+    # VMEM; 2D row gathers ~1.5-4.5 ns/idx)
+    return flat_gather(tbl, idx, force=None if mxu else False)
 
 
 def _flat_pack(fields, idx, mxu, kn=None):
@@ -380,14 +383,9 @@ def _flat_pack(fields, idx, mxu, kn=None):
             cols.append(f.astype(i32))
             kinds.append("i32")
     packed = jnp.stack(cols, axis=1)  # [N, F]
-    if mxu:
-        from ..ops.flat_gather import flat_gather_fields
+    from ..ops.flat_gather import flat_gather_fields
 
-        gcols = flat_gather_fields(packed, idx)
-    else:
-        ix = jnp.clip(idx, np.int32(0), np.int32(packed.shape[0] - 1))
-        g = jnp.take(packed, ix, axis=0)
-        gcols = [g[..., k] for k in range(packed.shape[1])]
+    gcols = flat_gather_fields(packed, idx, force=None if mxu else False)
     out = []
     for k, kind in enumerate(kinds):
         v = gcols[k]
@@ -553,23 +551,13 @@ def _pool_event_step(idx, p: PoolParams, st, ev, ev_on):
     # ---- candidate flags in creation order -------------------------------
     pv = slot_alive
     fmlen = st["q_end"] - st["q_start"] + 1
-    # fused per-k-mer prob rows: lane 0 = stay prob (probs[k]), lanes
-    # 1-4 = the 4 move probs (probs[((k<<2)&1023)|b], which depends only
-    # on k mod 256 — a reshape+tile, no gather), so ONE [S]-index gather
-    # serves stay + all moves with no lane-select pass
-    ptab = jnp.concatenate(
-        [
-            probs[:, :, None],
-            jnp.tile(probs.reshape(B, KMER_COUNT // 4, 4), (1, 4, 1)),
-        ],
-        axis=2,
-    ).reshape(B * KMER_COUNT, 5)
-    g5 = _flat_take(
-        ptab, ridc * np.int32(KMER_COUNT) + st["q_kmer"], p.mxu,
-        kn="gprob",
-    )  # [S, 5]
-    stay_p = g5[:, 0]
-    mv_p = g5[:, 1:]  # [S, 4]
+    # stay + move probs are both 4-wide rows of the SAME [B*256, 4]
+    # reshape of probs (no materialized 5-lane table, which the device
+    # trace showed living in HBM at ~10 ns/idx): stay prob probs[b, k]
+    # sits at row b*256 + (k>>2) lane k&3; the 4 move probs
+    # probs[b, ((k<<2)&1023)|0..3] ARE row b*256 + (k&255).
+    KQ = KMER_COUNT // 4
+    p4 = probs.reshape(B * KQ, 4)
     lane = lambda g4, j: jnp.sum(
         jnp.where(
             jax.lax.broadcasted_iota(i32, g4.shape, 1) == j[:, None],
@@ -577,14 +565,20 @@ def _pool_event_step(idx, p: PoolParams, st, ev, ev_on):
         ),
         axis=1,
     )
-    # fm-bin thresholds: tiny per-read [NT/4, 4] table, one [S] gather
+    ridq = ridc * np.int32(KQ)
+    stay_p = lane(
+        _flat_take(p4, ridq + (st["q_kmer"] >> 2), p.mxu, kn="gprob"),
+        st["q_kmer"] & 3,
+    )
+    mv_p = _flat_take(
+        p4, ridq + (st["q_kmer"] & np.int32(KQ - 1)), p.mxu, kn="gprob"
+    )  # [S, 4]
+    # fm-bin thresholds: the [NT/4, 4] table is index-static and shared
+    # by every read, so the gather needs no read dimension
     fm_bin = _fm_bin(fmlen)
     NT = idx["threshes"].shape[0]
     NT4 = NT // 4
-    ttab = jnp.broadcast_to(
-        idx["threshes"].reshape(NT4, 4)[None], (B, NT4, 4)
-    ).reshape(B * NT4, 4)
-    gt = _flat_take(ttab, ridc * np.int32(NT4) + (fm_bin >> 2), p.mxu,
+    gt = _flat_take(idx["threshes"].reshape(NT4, 4), fm_bin >> 2, p.mxu,
                     kn="gprob")
     thresh = lane(gt, fm_bin & 3)
     stay_f = pv & (st["q_consec"] < p.max_consec_stay) & (stay_p >= thresh)
@@ -908,9 +902,19 @@ def _pool_event_step(idx, p: PoolParams, st, ev, ev_on):
         return r + 1, ts2
 
     if "tracker" not in _KNOCKOUT:
-        _, tstate = jax.lax.while_loop(
-            lambda c: c[0] < max_rows, row_body, (jnp.int32(0), tstate)
-        )
+        if p.tracker_kernel and B % 8 == 0 and "tracker_full" not in _KNOCKOUT:
+            # VMEM-resident Pallas kernel with per-8-read-block dynamic
+            # trip counts: ~55x the while_loop (ops/tracker_kernel.py)
+            from ..ops.tracker_kernel import tracker_run
+
+            tstate = tracker_run(
+                p.min_aln_len, tstate, b_ref_en, b_mc, b_evt, row_ok2,
+                jnp.where(alive, rows_r, 0),
+            )
+        else:
+            _, tstate = jax.lax.while_loop(
+                lambda c: c[0] < max_rows, row_body, (jnp.int32(0), tstate)
+            )
 
     # ---- sources (mapper.cpp:544-624) -------------------------------------
     source_prob = idx["threshes"][0]
@@ -1088,10 +1092,13 @@ def _pool_event_step(idx, p: PoolParams, st, ev, ev_on):
         [idx["kmer_st"], idx["kmer_en"]], fkm_full, p.mxu, kn="gfull"
     )
     f_rid_full = jax.lax.div(jax.lax.iota(i32, B * FS), np.int32(FS))
-    f_prob_full = _flat_take(
-        ptab, f_rid_full * np.int32(KMER_COUNT) + fkm_full, p.mxu,
-        kn="gfull",
-    )[:, 0]
+    f_prob_full = lane(
+        _flat_take(
+            p4, f_rid_full * np.int32(KQ) + (fkm_full >> 2), p.mxu,
+            kn="gfull",
+        ),
+        fkm_full & 3,
+    )
     NU = 3 * SC + B * FS + S
 
     def ucol(a_part, h_part, f_part, d_part):
@@ -1281,7 +1288,12 @@ class PooledEngine:
         import jax
 
         self.conf = conf or Conf()
-        over.setdefault("mxu", jax.default_backend() == "tpu")
+        on_tpu = jax.default_backend() == "tpu"
+        over.setdefault("mxu", on_tpu)
+        # bit-identical to the flat lax.sort (tests/test_pooled.py) and
+        # measured 0.7 ms/event faster on v5e
+        over.setdefault("sort_mode", "bitonic" if on_tpu else "flat")
+        over.setdefault("tracker_kernel", on_tpu)
         self.params = PoolParams.from_conf(self.conf, **over)
         self.fmi = fmi
         self.model = model

@@ -63,16 +63,30 @@ def fits(n: int, f: int = 1) -> bool:
     return _pick(n, min(max(f, 1), F_MAX)) is not None
 
 
-# Break-even vs the XLA gather: the kernel spends 4 byte-planes x N x F
-# MACs per index (4e14 MACs/s) plus per-chunk one-hot rebuilds.
-# Measured on the pooled step (v5e): routing the wide pool packs
-# (N*F ~ 0.7-1M) to the MXU made the step WORSE (31.0 vs 27.9
-# ms/event), so the crossover sits near the original estimate.
-NF_PROFITABLE = 700_000
+# Break-even vs the XLA gather, from device traces of the pooled step
+# (v5e, round 2): per <=4-field chunk the kernel costs ~2.0 ns x N*F
+# (one-hot plane builds + MACs) plus ~3.5 ns x K (select/collapse
+# passes).  The XLA row gather runs ~1.5-4.5 ns x K when the table is
+# VMEM-resident and ~10 ns x K from HBM; residency is XLA's call, but
+# in-step intermediates up to ~21 MB were observed in VMEM (S(1)),
+# so the router prices XLA at 3 ns below that size.  1D tables are
+# served by the lane-trick row gather (see _take1d), priced the same.
+_MXU_NS_PER_NF = 2.0
+_MXU_NS_PER_K = 3.5
+_VMEM_LIKELY_BYTES = 24_000_000
 
 
-def profitable(n: int, f: int = 1) -> bool:
-    return n * max(f, 1) <= NF_PROFITABLE and fits(n, f)
+def _xla_ns_per_k(n: int, f: int) -> float:
+    return 3.0 if n * max(f, 1) * 4 <= _VMEM_LIKELY_BYTES else 10.0
+
+
+def profitable(n: int, f: int = 1, k: int | None = None) -> bool:
+    f = max(f, 1)
+    if k is None:  # no index count known: old NF heuristic
+        return n * f <= 700_000 and fits(n, f)
+    chunks = _cdiv(f, F_MAX)
+    mxu = chunks * (_MXU_NS_PER_NF * n * min(f, F_MAX) + _MXU_NS_PER_K * k)
+    return mxu < _xla_ns_per_k(n, f) * k and fits(n, f)
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -197,6 +211,39 @@ def _gather_i32(tbl, idx):
     return out[:, :K]
 
 
+_TAKE1D_LANES = 8
+_TAKE1D_MIN_K = 2048
+
+
+def _take1d(tbl, ix):
+    """1D XLA gather via [N/8, 8] row gather + lane select.
+
+    The TPU gather emitter serves 2D row gathers at ~1.5-4.5 ns/idx but
+    1D gathers at ~7 ns/idx even from VMEM (measured, docs/PERF.md), so
+    flat [N] tables are reshaped to 8-lane rows and the in-row element
+    picked with an exact masked i32 sum.  ``ix`` must be pre-clamped.
+    Bit-exact for any 32-bit dtype (i32 bitcast both ways)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .mxu_gather import _from_i32, _to_i32
+
+    L = _TAKE1D_LANES
+    n = tbl.shape[0]
+    flat, kind = _to_i32(tbl)
+    pad = (-n) % L
+    if pad:
+        flat = jnp.concatenate([flat, jnp.zeros((pad,), jnp.int32)])
+    rows = jnp.take(flat.reshape(-1, L), ix >> np.int32(3), axis=0)
+    lane = (ix & np.int32(L - 1)).astype(jnp.int32)
+    iota = jax.lax.broadcasted_iota(jnp.int32, rows.shape, rows.ndim - 1)
+    out32 = jnp.sum(
+        jnp.where(iota == lane[..., None], rows, np.int32(0)),
+        axis=-1, dtype=jnp.int32,
+    )
+    return _from_i32(out32, kind).reshape(ix.shape)
+
+
 def flat_gather(tbl, idx, force=None):
     """``out[k(, f)] = tbl[idx[k](, f)]`` for a flat shared table.
 
@@ -212,11 +259,18 @@ def flat_gather(tbl, idx, force=None):
     f_ = 1 if tbl.ndim == 1 else tbl.shape[1]
     use = (
         force if force is not None
-        else _use_pallas() and profitable(tbl.shape[0], f_)
+        else _use_pallas() and profitable(tbl.shape[0], f_, idx.size)
     ) and fits(tbl.shape[0], f_)
     kshape = idx.shape
     if not use:
         ix = jnp.clip(idx, 0, tbl.shape[0] - 1)
+        if (
+            tbl.ndim == 1
+            and idx.size >= _TAKE1D_MIN_K
+            and _use_pallas()  # TPU-only layout fact
+            and tbl.dtype.itemsize == 4
+        ):
+            return _take1d(tbl, ix)
         return jnp.take(tbl, ix, axis=0)
     squeeze = tbl.ndim == 1
     if squeeze:
@@ -235,7 +289,8 @@ def flat_gather_fields(tbl, idx, force=None):
 
     use = (
         force if force is not None
-        else _use_pallas() and profitable(tbl.shape[0], tbl.shape[1])
+        else _use_pallas() and profitable(tbl.shape[0], tbl.shape[1],
+                                          idx.size)
     ) and fits(tbl.shape[0], tbl.shape[1])
     kshape = idx.shape
     if not use:
