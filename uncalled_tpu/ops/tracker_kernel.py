@@ -182,7 +182,9 @@ def _kernel(nrows_ref, ren_ref, mc_ref, evt_ref, ok_ref, sc_ref,
             any_match, sum1h(new_tot),
             jnp.where(do_insert, mc, _NEG),
         )
-        changed = jnp.where(any_match, upd_len > Z, do_insert)
+        # no select_n over i1 operands (Mosaic: "Unsupported target
+        # bitwidth for truncation" inside the full step program)
+        changed = (any_match & (upd_len > Z)) | (~any_match & do_insert)
         better = (
             changed & (cand_len >= np.int32(min_aln_len))
             & (cand_len > mm_len)
