@@ -215,3 +215,34 @@ def test_pooled_exhaustion_classic_ladder_when_wide_disabled(
     assert bm.ovf_why, "tiny pool must overflow"
     assert isinstance(bm._next_mapper.eng, MapEngine)
     assert got[rid] == golden_pafs[rid]
+
+
+def test_seg_running_max_two_level():
+    """Two-level segmented running max == the flat associative scan."""
+    import jax
+    import jax.numpy as jnp
+
+    from uncalled_tpu.mapping.pooled import _seg_running_max
+
+    rng = np.random.default_rng(11)
+    for N in (122880, 98304, 10240, 777):
+        # contiguous segments of random lengths (as the candidate stream)
+        first = rng.random(N) < 0.2
+        first[0] = True
+        seg = jnp.asarray(np.cumsum(first).astype(np.int32))
+        vals = jnp.asarray(
+            rng.integers(-(2**31), 2**31 - 1, N, dtype=np.int64).astype(
+                np.int32
+            )
+        )
+
+        def _segmax(a, b):
+            sa_, ma = a
+            sb, mb = b
+            return sb, jnp.where(sa_ == sb, jnp.maximum(ma, mb), mb)
+
+        _, exp = jax.lax.associative_scan(
+            _segmax, (seg[None], vals[None]), axis=1
+        )
+        got = _seg_running_max(seg, vals)
+        assert np.array_equal(np.asarray(got), np.asarray(exp[0])), N

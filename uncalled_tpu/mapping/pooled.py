@@ -61,10 +61,14 @@ class PoolParams:
     SC: int = 131072  # candidate pool slots per event
     FS: int = 256  # full-range sources kept per read per event
     RE: int = 1024  # seed-group entries per event (whole batch)
-    RT: int = 4096  # expanded seed rows per event (whole batch)
-    # seed rows per read per event ([B, R] tracker feed): measured
-    # per-read max 360 on honest reads (p99=257) -> 384 ~never trips
-    R: int = 384
+    RT: int = 6144  # expanded seed rows per event (whole batch)
+    # seed rows per read per event ([B, R] tracker feed): the honest
+    # 1024-read bench measured per-read demand p99=364 max=784, and R
+    # was the ONLY eject cause left (eject_why bit 16: 9/1024 reads,
+    # whose wide-tier reruns burned 23% of bench wall).  With the
+    # VMEM tracker kernel a wide R costs only the [B, R] row-feed pack
+    # (~+0.4 ms/event at R=1024) — far cheaper than the reruns.
+    R: int = 1024
     # seed-cluster table capacity per read.  Sized ABOVE the highest
     # cluster count observed through the reference-budget oracle on
     # honest reads (max 1716, p99 1563): a CL eviction ejects the read
@@ -342,6 +346,51 @@ def _sort1d_bitonic(keys):
         ks = rowsort(ks, min(C, NP))
         L *= 2
     return tuple(k[:N] for k in ks)
+
+
+def _seg_running_max(seg_id, vals):
+    """Running max within contiguous segments: out[i] = max(vals[j] for
+    j <= i with seg_id[j] == seg_id[i]).
+
+    Two-level decomposition — row-parallel inner scans on a [R0, C]
+    reshape plus a tiny cross-row carry scan — because a flat [1, N]
+    associative_scan has no row parallelism on TPU (like flat sorts;
+    measured 0.61 ms/event at N=122880 vs ~0.15 for the rows version).
+    Exact (i32 max is associative)."""
+    import jax
+
+    jnp = _jnp()
+    i32 = jnp.int32
+    N = seg_id.shape[0]
+
+    def _segmax(a, b):
+        sa_, ma = a
+        sb, mb = b
+        return sb, jnp.where(sa_ == sb, jnp.maximum(ma, mb), mb)
+
+    C = next((c for c in (2048, 1536, 1280, 1024, 512) if N % c == 0), 0)
+    if not C or N // C < 8:
+        _, out = jax.lax.associative_scan(
+            _segmax, (seg_id[None], vals[None]), axis=1
+        )
+        return out[0]
+    R0 = N // C
+    sv = seg_id.reshape(R0, C)
+    mv = vals.reshape(R0, C)
+    _, row_run = jax.lax.associative_scan(_segmax, (sv, mv), axis=1)
+    last_seg = sv[:, -1]
+    _, carry = jax.lax.associative_scan(
+        _segmax, (last_seg[None], row_run[:, -1][None]), axis=1
+    )
+    NEGI = np.int32(-(2**31))
+    in_seg = jnp.concatenate([jnp.full((1,), -1, i32), last_seg[:-1]])
+    in_max = jnp.concatenate([jnp.full((1,), NEGI, i32), carry[0][:-1]])
+    out = jnp.where(
+        sv == in_seg[:, None],
+        jnp.maximum(row_run, in_max[:, None]),
+        row_run,
+    )
+    return out.reshape(N)
 
 
 def _flat_take(tbl, idx, mxu, kn=None):
@@ -924,15 +973,7 @@ def _pool_event_step(idx, p: PoolParams, st, ev, ev_on):
     first_seg = svalid & ((nk_s != prev_k) | (rks != prev_r))
     seg_id = jnp.cumsum(first_seg, dtype=i32)
 
-    def _segmax(a, b):
-        sa_, ma = a
-        sb, mb = b
-        return sb, jnp.where(sa_ == sb, jnp.maximum(ma, mb), mb)
-
-    _, run_end = jax.lax.associative_scan(
-        _segmax, (seg_id[None], ne_s[None]), axis=1
-    )
-    run_end = run_end[0]
+    run_end = _seg_running_max(seg_id, ne_s)
 
     km_st, km_en = _flat_pack([idx["kmer_st"], idx["kmer_en"]], nk_s, p.mxu)
     head_st = km_st
