@@ -378,4 +378,24 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # The remote compile tunnel occasionally drops mid-stream
+    # ("response body closed before all bytes were read"); one such
+    # transient must not zero a whole bench run.  Retry in a fresh
+    # process (in-process jit caches may hold poisoned entries).
+    attempts = int(os.environ.get("BENCH_ATTEMPTS", "3"))
+    if os.environ.get("_BENCH_CHILD") == "1" or attempts <= 1:
+        main()
+    else:
+        import subprocess
+
+        env = dict(os.environ, _BENCH_CHILD="1")
+        for k in range(attempts):
+            r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                               env=env)
+            if r.returncode == 0:
+                sys.exit(0)
+            sys.stderr.write(
+                f"bench attempt {k + 1}/{attempts} failed "
+                f"(rc={r.returncode}); retrying\n"
+            )
+        sys.exit(r.returncode)
