@@ -299,7 +299,20 @@ class BatchMapper:
 
     # --------------------------------------------------------------- main
     def map_reads(self, reads):
-        """Generator over Paf results; `reads` is any iterable of Read-likes."""
+        """Generator over Paf results; `reads` is any iterable of Read-likes.
+
+        When the input is a materialized sequence, reads are scheduled
+        LONGEST-FIRST (LPT): the handful of slow-deciding monster reads
+        then amortize inside the full batch instead of serializing in
+        the end-of-run straggler drain at 1/16th parallelism (bench
+        telemetry: the drain tail was ~34%% of wall at arrival order).
+        Output order is completion order either way — PAF consumers
+        (and the reference's own thread pool) are order-agnostic.
+        """
+        if hasattr(reads, "__len__"):
+            reads = sorted(
+                reads, key=lambda r: len(r.signal), reverse=True
+            )
         B = self.eng.params.B
         yield from self._run(
             iter(reads), [None] * B, self.eng.fresh_state(), 0, False, None
