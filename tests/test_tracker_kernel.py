@@ -98,3 +98,49 @@ def test_tracker_kernel_bit_exact(seed, fill, B, CL, R):
                 exp[k].view(np.uint32).tolist(), k
         else:
             assert np.array_equal(g, exp[k]), k
+
+
+@pytest.mark.parametrize("seed,fill", [(3, 0.3), (4, 0.97)])
+def test_tracker_kernel_compact_bit_exact(seed, fill):
+    """Compact-stream kernel == the expanded [B, R] fold, bit-exact."""
+    import jax.numpy as jnp
+
+    from uncalled_tpu.ops.tracker_kernel import tracker_run_compact
+
+    B, CL, RT, R = 16, 128, 256, 24
+    rng = np.random.default_rng(seed)
+    st = _rand_state(rng, B, CL, fill)
+    rr_ref_en = rng.integers(0, 5000, RT).astype(np.int32)
+    rr_mc = rng.integers(1, 30, RT).astype(np.int32)
+    rr_evt = rng.integers(0, 800, RT).astype(np.int32)
+    # contiguous per-read windows in the compact stream
+    counts = rng.integers(0, R // 2, B).astype(np.int32)
+    st_w = np.minimum(np.concatenate([[0], np.cumsum(counts)[:-1]]),
+                      RT - 1).astype(np.int32)
+    rows_eff = np.minimum(counts, RT - st_w).astype(np.int32)
+
+    # reference: the expanded fold
+    ref_en = np.zeros((B, R), np.int32)
+    mc = np.zeros((B, R), np.int32)
+    evt = np.zeros((B, R), np.int32)
+    ok = np.zeros((B, R), bool)
+    for b in range(B):
+        n = rows_eff[b]
+        ref_en[b, :n] = rr_ref_en[st_w[b] : st_w[b] + n]
+        mc[b, :n] = rr_mc[st_w[b] : st_w[b] + n]
+        evt[b, :n] = rr_evt[st_w[b] : st_w[b] + n]
+        ok[b, :n] = True
+    exp = _fold_reference(7, st, ref_en, mc, evt, ok, rows_eff)
+
+    got = tracker_run_compact(
+        7, {k: jnp.asarray(v) for k, v in st.items()},
+        jnp.asarray(rr_ref_en), jnp.asarray(rr_mc), jnp.asarray(rr_evt),
+        jnp.asarray(st_w), jnp.asarray(rows_eff), interpret=True,
+    )
+    for k in exp:
+        g = np.asarray(got[k])
+        if g.dtype == np.float32:
+            assert g.view(np.uint32).tolist() == \
+                exp[k].view(np.uint32).tolist(), k
+        else:
+            assert np.array_equal(g, exp[k]), k

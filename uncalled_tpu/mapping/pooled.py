@@ -912,20 +912,28 @@ def _pool_event_step(idx, p: PoolParams, st, ev, ev_on):
     want_rows_r = rw_b[1:] - rw_b[:-1]
     st_w = jnp.minimum(rw_b[:-1], np.int32(RT))
     rows_r = jnp.minimum(rw_b[1:], np.int32(RT)) - st_w  # actual rows
-    row_ids = jnp.arange(R, dtype=i32)
-    gidx = st_w[:, None] + row_ids[None, :]  # [B, R]
-    row_ok2 = (
-        (row_ids[None, :] < jnp.minimum(rows_r, np.int32(R))[:, None])
-        & alive[:, None]
-    )
-    gi = jnp.minimum(gidx, np.int32(RT - 1)).reshape(B * R)
-    b_ref_en, b_mc, b_evt = _flat_pack(
-        [ref_en_flat, rr_mc, rr_evt], gi, p.mxu, kn="grow"
-    )
-    b_ref_en = b_ref_en.reshape(B, R)
-    b_mc = b_mc.reshape(B, R)
-    b_evt = b_evt.reshape(B, R)
     rows_cut_r = (want_rows_r > R) | (rows_r != want_rows_r)
+    rows_eff = jnp.where(
+        alive, jnp.minimum(rows_r, np.int32(R)), np.int32(0)
+    )
+    use_trk_kernel = (
+        p.tracker_kernel and B % 8 == 0
+        and "tracker" not in _KNOCKOUT
+        and "tracker_full" not in _KNOCKOUT
+    )
+    if not use_trk_kernel:
+        # expand compact rows to [B, R] for the while_loop fold (the
+        # kernel path reads the compact [RT] streams directly)
+        row_ids = jnp.arange(R, dtype=i32)
+        gidx = st_w[:, None] + row_ids[None, :]  # [B, R]
+        row_ok2 = (row_ids[None, :] < rows_eff[:, None])
+        gi = jnp.minimum(gidx, np.int32(RT - 1)).reshape(B * R)
+        b_ref_en, b_mc, b_evt = _flat_pack(
+            [ref_en_flat, rr_mc, rr_evt], gi, p.mxu, kn="grow"
+        )
+        b_ref_en = b_ref_en.reshape(B, R)
+        b_mc = b_mc.reshape(B, R)
+        b_evt = b_evt.reshape(B, R)
 
     tstate = {
         k: st[k]
@@ -951,14 +959,16 @@ def _pool_event_step(idx, p: PoolParams, st, ev, ev_on):
         return r + 1, ts2
 
     if "tracker" not in _KNOCKOUT:
-        if p.tracker_kernel and B % 8 == 0 and "tracker_full" not in _KNOCKOUT:
+        if use_trk_kernel:
             # VMEM-resident Pallas kernel with per-8-read-block dynamic
-            # trip counts: ~55x the while_loop (ops/tracker_kernel.py)
-            from ..ops.tracker_kernel import tracker_run
+            # trip counts (~55x the while_loop), reading the compact
+            # [RT] row streams directly via per-read offsets — no [B, R]
+            # row expansion gather (ops/tracker_kernel.py)
+            from ..ops.tracker_kernel import tracker_run_compact
 
-            tstate = tracker_run(
-                p.min_aln_len, tstate, b_ref_en, b_mc, b_evt, row_ok2,
-                jnp.where(alive, rows_r, 0),
+            tstate = tracker_run_compact(
+                p.min_aln_len, tstate, ref_en_flat, rr_mc, rr_evt,
+                st_w, rows_eff,
             )
         else:
             _, tstate = jax.lax.while_loop(
