@@ -149,22 +149,16 @@ class BatchMapper:
         drain mapper CHAINS (256 -> 64 -> 16) so the tail shrinks
         geometrically with the straggler count."""
         if self._drain_mapper is None:
-            from .pooled import PooledEngine
-
+            # NOTE: with LPT scheduling (map_reads) the tail reads are
+            # the SHORT ones, so drain pools keep the default
+            # slots/read — an S/2-sized drain pool was measured 2.9 s
+            # slower on the bench (light tails don't need the headroom;
+            # path-heavy reads now finish inside the full batch)
             Bd = max(4, self.eng.params.B // 4)
-            over = {**self._over, "B": Bd}
-            if isinstance(self.eng, PooledEngine):
-                # surviving stragglers are the PATH-HEAVIEST reads: keep
-                # HALF the parent pool at a quarter of the read slots
-                # (slots/read double each stage), so state migration
-                # fits and the drain never restart-ejects them into the
-                # wide tier (measured: nofit restarts re-burned ~6 s of
-                # a 28 s bench at the old S/4 drain pools)
-                over["S"] = max(4096, self.eng.params.S // 2)
             self._drain_mapper = BatchMapper(
                 self.fmi, self.model, self.threshes, self.conf,
                 emit_timing=self.emit_timing, _rung=self._rung,
-                **over,
+                **{**self._over, "B": Bd},
             )
             # drain reads are long: double the event block to halve the
             # per-block dispatch/readout round trips

@@ -296,7 +296,11 @@ def flat_gather_fields(tbl, idx, force=None):
     if not use:
         ix = jnp.clip(idx, 0, tbl.shape[0] - 1)
         g = jnp.take(tbl, ix, axis=0)
-        return [g[..., f] for f in range(tbl.shape[1])]
+        # fields-major relayout ONCE, then row slices are contiguous —
+        # per-column minor-dim extraction cost one slice_reduce pass
+        # EACH on wide packs (trace: ~1 ms/event total at F=10-15)
+        gt = g.T
+        return [gt[f] for f in range(tbl.shape[1])]
     out = _gather_i32(tbl, idx.reshape(-1))
     return [out[f].reshape(kshape) for f in range(out.shape[0])]
 
