@@ -121,6 +121,13 @@ class PoolParams:
             kw["S"] = max(4096, kw["B"] * en.pool_slots_per_read)
         if "SC" not in over:
             kw["SC"] = kw["S"] + kw["S"] // 4
+        # RE/RT are BATCH-total per-event row budgets: scale with B
+        # (fixed defaults mass-ejected every read at B=512 — the batch
+        # aggregate spills even though per-read demand is unchanged)
+        if "RE" not in over:
+            kw["RE"] = max(1024, 4 * kw["B"])
+        if "RT" not in over:
+            kw["RT"] = max(6144, 24 * kw["B"])
         return PoolParams(**kw)
 
 
