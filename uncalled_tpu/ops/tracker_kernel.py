@@ -295,13 +295,8 @@ def _run_fold(body, n, sc_ref, in_refs, sco_ref, out_refs):
     sco_ref[...] = packed
 
 
-# deferred pl import so CPU-only environments never touch pallas
-def _pl():
-    from jax.experimental import pallas as pl  # noqa
-
-    return pl
-
-
+# module-level handle set by _build/_build_c before the kernels trace,
+# so CPU-only imports of this module never touch pallas
 pl = None
 
 
