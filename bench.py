@@ -389,13 +389,25 @@ if __name__ == "__main__":
         import subprocess
 
         env = dict(os.environ, _BENCH_CHILD="1")
+        # only these stderr signatures warrant a retry — a deterministic
+        # failure (assertion, bad knob) must not burn 2 more full runs
+        transient = (
+            "response body closed", "remote_compile", "DEADLINE_EXCEEDED",
+            "UNAVAILABLE", "Socket closed", "Connection reset",
+        )
         for k in range(attempts):
-            r = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                               env=env)
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)], env=env,
+                stderr=subprocess.PIPE,
+            )
+            err = r.stderr.decode(errors="replace")
+            sys.stderr.write(err)
             if r.returncode == 0:
                 sys.exit(0)
+            if not any(t in err for t in transient):
+                break
             sys.stderr.write(
-                f"bench attempt {k + 1}/{attempts} failed "
-                f"(rc={r.returncode}); retrying\n"
+                f"bench attempt {k + 1}/{attempts} hit a transient "
+                f"tunnel error (rc={r.returncode}); retrying\n"
             )
         sys.exit(r.returncode)

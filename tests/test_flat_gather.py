@@ -104,3 +104,22 @@ def test_take1d_lane_trick_exact(dt, n, k):
     assert np.array_equal(
         out.view(np.uint32), tbl[idx].view(np.uint32)
     )
+
+
+def test_flat_gather_fields_multidim_idx():
+    """Fields come back in the index's shape for 2D idx (the fields-major
+    relayout must move only the field axis)."""
+    import jax.numpy as jnp
+
+    from uncalled_tpu.ops import flat_gather as FG
+
+    rng = np.random.default_rng(3)
+    tbl = rng.integers(-100, 100, (512, 3)).astype(np.int32)
+    idx = rng.integers(0, 512, (16, 24)).astype(np.int32)
+    cols = FG.flat_gather_fields(
+        jnp.asarray(tbl), jnp.asarray(idx), force=False
+    )
+    assert len(cols) == 3
+    for f, c in enumerate(cols):
+        assert c.shape == idx.shape
+        assert np.array_equal(np.asarray(c), tbl[idx, f])

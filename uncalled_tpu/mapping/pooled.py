@@ -375,8 +375,12 @@ def _seg_running_max(seg_id, vals):
         sb, mb = b
         return sb, jnp.where(sa_ == sb, jnp.maximum(ma, mb), mb)
 
-    C = next((c for c in (2048, 1536, 1280, 1024, 512) if N % c == 0), 0)
-    if not C or N // C < 8:
+    C = next(
+        (c for c in (2048, 1536, 1280, 1024, 512)
+         if N % c == 0 and N // c >= 8),
+        0,
+    )
+    if not C:
         _, out = jax.lax.associative_scan(
             _segmax, (seg_id[None], vals[None]), axis=1
         )

@@ -298,8 +298,10 @@ def flat_gather_fields(tbl, idx, force=None):
         g = jnp.take(tbl, ix, axis=0)
         # fields-major relayout ONCE, then row slices are contiguous —
         # per-column minor-dim extraction cost one slice_reduce pass
-        # EACH on wide packs (trace: ~1 ms/event total at F=10-15)
-        gt = g.T
+        # EACH on wide packs (trace: ~1 ms/event total at F=10-15).
+        # moveaxis, not .T: idx may be multi-dim and only the field
+        # axis must move.
+        gt = jnp.moveaxis(g, -1, 0)
         return [gt[f] for f in range(tbl.shape[1])]
     out = _gather_i32(tbl, idx.reshape(-1))
     return [out[f].reshape(kshape) for f in range(out.shape[0])]
