@@ -138,6 +138,21 @@ def main():
     reads = [BenchRead(m[0], d[f"sig_{i}"]) for i, m in enumerate(meta)]
     truth = {m[0]: m for m in meta}
 
+    # fold the repo's golden fixture set into the timed run: 13 reads
+    # simulated under the reference's own pore model plus ONE real
+    # nanopore signal (f41a60f7..., the read bundled with the reference,
+    # reference example/README.md:14-20).  They carry no truth position
+    # on this genome (their source is the 10 kb example reference), so
+    # they count for throughput and rig byte-parity but not correct_frac.
+    golden_reads = []
+    fx = os.path.join(REPO, "tests", "fixtures", "golden_reads.npz")
+    if os.path.exists(fx) and int(os.environ.get("BENCH_GOLDEN_MIX", "1")):
+        g = np.load(fx, allow_pickle=True)
+        golden_reads = [
+            BenchRead(k, np.asarray(g[k], np.float32)) for k in g.files
+        ]
+    n_real = sum(1 for r in golden_reads if r.id.startswith("f41a60f7"))
+
     conf = Conf()
     conf.engine.batch_reads = BATCH
     conf.engine.evt_block = EVT_BLOCK
@@ -262,23 +277,29 @@ def main():
 
     BatchMapper._get_drain, BatchMapper._get_next = _gd, _gn
 
+    timed_reads = reads[N_WARM:] + golden_reads
     t0 = time.time()
     n_mapped = 0
     n_correct = 0
+    mismapped = []  # truth-bearing reads that mapped to the wrong place
     ours = {}
-    for paf in bm.map_reads(reads[N_WARM:]):
+    for paf in bm.map_reads(timed_reads):
         ours[paf.rd_name] = paf.to_line()
         if paf.is_mapped:
+            m = truth.get(paf.rd_name)
+            if m is None:
+                continue  # golden-fixture read: no truth on this genome
             n_mapped += 1
-            m = truth[paf.rd_name]
             if (
                 paf.rf_name == m[1]
                 and m[2] - 500 <= paf.rf_st <= m[3] + 500
                 and paf.fwd == m[4]
             ):
                 n_correct += 1
+            else:
+                mismapped.append(paf.rd_name)
     dt = time.time() - t0
-    reads_per_sec = N_READS / dt
+    reads_per_sec = len(timed_reads) / dt
     # per-block (dispatch_s, ro_wait_s) distribution to stderr: a few
     # huge blocks = hidden compiles/stalls, uniform = structural cost
     for k, v in tele.items():
@@ -307,25 +328,34 @@ def main():
 
     # accuracy gate vs the unmodified reference binary on the SAME
     # reads/index: fraction of PAF lines that match byte-for-byte (mt
-    # timing tag excluded).  BENCH_RIG: 0 = 64-read sample (default,
-    # post-timing, ~1 min of host CPU), 1 = every read, -1 = off.
+    # timing tag excluded).  BENCH_RIG: 1 = every timed read (default;
+    # ~2.5 min of host CPU AFTER the timed region), 0 = 64-read sample
+    # plus every truth-mismapped read, -1 = off.  A rig crash counts as
+    # DISAGREEMENT (never silently dropped from the denominator).
     rig_agree = None
-    rig_mode = int(os.environ.get("BENCH_RIG", "0"))
+    rig_agree_mismapped = None
+    rig_mode = int(os.environ.get("BENCH_RIG", "1"))
     rig_bin = os.path.join(REPO, "tools", "golden_rig", "golden_map")
     if rig_mode >= 0 and os.path.exists(rig_bin):
         import subprocess
         import tempfile
 
-        rig_reads = reads[N_WARM:]
+        rig_reads = timed_reads
         if rig_mode == 0:
-            rig_reads = list(
-                np.random.default_rng(7).choice(
-                    np.asarray(rig_reads, object),
-                    size=min(64, len(rig_reads)), replace=False,
+            sample = {
+                r.id for r in np.random.default_rng(7).choice(
+                    np.asarray(timed_reads, object),
+                    size=min(64, len(timed_reads)), replace=False,
                 )
-            )
+            }
+            # the truth-mismapped reads are exactly the ones whose parity
+            # needs proving (is the mismap OURS or the reference's own?)
+            sample |= set(mismapped)
+            rig_reads = [r for r in timed_reads if r.id in sample]
         same = 0
         total = 0
+        mis_set = set(mismapped)
+        mis_same = 0
         with tempfile.TemporaryDirectory() as td:
             for r in rig_reads:
                 sigf = os.path.join(td, "sig.f32")
@@ -334,29 +364,41 @@ def main():
                     [rig_bin, prefix, sigf, r.id],
                     capture_output=True, text=True, timeout=600,
                 )
-                if out.returncode != 0:
-                    continue
+                total += 1
+                if out.returncode != 0 or not out.stdout.strip():
+                    continue  # crash/empty = disagreement
                 line = out.stdout.strip().splitlines()[-1]
                 line = "\t".join(
                     t for t in line.split("\t") if not t.startswith("mt:")
                 )
-                total += 1
-                same += line == ours.get(r.id)
+                hit = line == ours.get(r.id)
+                same += hit
+                mis_same += hit and (r.id in mis_set)
         rig_agree = round(same / max(total, 1), 4)
+        if mismapped:
+            rig_agree_mismapped = round(mis_same / len(mismapped), 4)
 
     print(
         json.dumps(
             {
-                "metric": "reads_per_sec_chip_ecoli4.7Mb",
+                # the genome is a 4.7 Mb SIMULATED (repeat-bearing Markov)
+                # reference at E. coli scale, not E. coli sequence
+                "metric": "reads_per_sec_chip_simgenome4.7Mb",
                 "value": round(reads_per_sec, 2),
                 "unit": "reads/s",
                 "vs_baseline": round(reads_per_sec / BASELINE_READS_PER_SEC, 3),
                 "extra": {
-                    "n_reads": N_READS,
+                    "n_reads": len(timed_reads),
+                    "read_mix": {
+                        "sim_markov_genome": N_READS,
+                        "golden_fixture_pore_model": len(golden_reads) - n_real,
+                        "real_nanopore": n_real,
+                    },
                     "mapped_frac": round(n_mapped / N_READS, 4),
                     "correct_frac": round(n_correct / N_READS, 4),
+                    "mismapped_ids": mismapped[:32],
                     "wall_s": round(dt, 2),
-                    "ms_per_read": round(dt * 1000 / N_READS, 2),
+                    "ms_per_read": round(dt * 1000 / len(timed_reads), 2),
                     "batch": BATCH,
                     "paths": PATHS,
                     "remapped": rungs[0] if rungs else 0,
@@ -371,6 +413,8 @@ def main():
                     },
                     "demand_p50_p99_max": dmstats,
                     **({"rig_agree": rig_agree} if rig_agree is not None else {}),
+                    **({"rig_agree_mismapped": rig_agree_mismapped}
+                       if rig_agree_mismapped is not None else {}),
                 },
             }
         )

@@ -7,7 +7,7 @@ import io
 
 import pytest
 
-from uncalled_tpu.realtime.yield_est import est_bed_yield
+from uncalled_tpu.realtime.yield_est import est_bed_yield, est_genome_yield
 
 HEADER = (
     "filename\tread_id\tchannel\tmux\tstart_time\tduration\t"
@@ -40,6 +40,39 @@ def bed_inputs(tmp_path):
         "\tej:f:0.3\tdl:f:400\tst:i:80000\n"
     )
     return str(paf), str(bed), str(seqsum)
+
+
+def test_est_genome_yield(bed_inputs, tmp_path):
+    paf, _, seqsum = bed_inputs
+    # index with one sequence "ref"; minimap truth: read_0/read_1 map to
+    # ref (on-target for enrich), read_2 maps elsewhere, read_3 unmapped
+    ann = tmp_path / "idx.ann"
+    ann.write_text("10000 1 11\n0 ref\n0 10000 0\n")
+    mm2 = tmp_path / "truth.paf"
+    mm2.write_text(
+        "read_0\t2000\t0\t2000\t+\tref\t10000\t0\t2000\t2000\t2000\t60"
+        "\ttp:A:P\n"
+        "read_1\t3000\t0\t3000\t+\tref\t10000\t0\t3000\t3000\t3000\t60"
+        "\ttp:A:P\n"
+        "read_2\t1500\t0\t1500\t+\tother\t9000\t0\t1500\t1500\t1500\t60"
+        "\ttp:A:P\n"
+    )
+    out = io.StringIO()
+    r = est_genome_yield(paf, seqsum, str(mm2), str(tmp_path / "idx"),
+                         deplete=False, sim_speed=0.5, out=out)
+    # control: on-target reads 0+1 = 5000 bp of 9000 total
+    assert r["cnt_on_bp"] == pytest.approx(5000 / 1e6)
+    assert r["cnt_total_bp"] == pytest.approx(9000 / 1e6)
+    # sim: read_0 kept on-target (full 2000); read_1 ejected on-target:
+    # salvage = bases/tmpl_dur * (est/450 + dl/4000 + ej - tmpl_delay)
+    #         = 3000/3.8 * (450/450 + 400/4000 + 0.3 - 0.2), capped at 3000
+    salv = min(3000.0, 3000 / 3.8 * (1.0 + 0.1 + 0.3 - 0.2))
+    assert r["unc_on_bp"] == pytest.approx((2000 + salv) / 1e6 / 0.5)
+    assert r["unc_total_bp"] == pytest.approx(r["unc_on_bp"])
+    # deplete mode flips the target set
+    r2 = est_genome_yield(paf, seqsum, str(mm2), str(tmp_path / "idx"),
+                          deplete=True, out=io.StringIO())
+    assert r2["cnt_on_bp"] == pytest.approx(1500 / 1e6)
 
 
 def test_est_bed_yield(bed_inputs):
