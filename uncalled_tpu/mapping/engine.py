@@ -317,10 +317,16 @@ def _occ(idx, k, c):
 
 
 def _extend(idx, start, end, base):
-    """Backward-extend FM intervals (bwa_index.hpp:158-162)."""
+    """Backward-extend FM intervals (bwa_index.hpp:158-162).
+
+    The two occ probes (start-1 and end) run as ONE doubled-shape _occ
+    call: same gather volume, half the fusion count (per-op overhead is
+    a measurable slice of the pooled step's tail)."""
     jnp = _jnp()
-    os_ = _occ(idx, start - 1, base)
-    oe = _occ(idx, end, base)
+    q = jnp.concatenate([start - 1, end])
+    o2 = _occ(idx, q, jnp.concatenate([base, base]))
+    n0 = start.shape[0]
+    os_, oe = o2[:n0], o2[n0:]
     oh4 = base[..., None] == jnp.arange(4, dtype=jnp.int32)
     L2b = jnp.sum(jnp.where(oh4, idx["L2"][:4], 0), axis=-1, dtype=jnp.int32)
     return L2b + os_ + 1, L2b + oe

@@ -97,6 +97,10 @@ class PoolParams:
     # seed tracker as the VMEM-resident Pallas kernel (TPU default):
     # bit-identical to the while_loop fold (tests/test_tracker_kernel.py)
     tracker_kernel: bool = False
+    # pooled-step stage kernels (ops/stepkern.py; TPU default) —
+    # bit-exact to the XLA stages they replace (tests/test_stepkern.py)
+    stepkern: bool = False
+    stepkern_interpret: bool = False  # CPU tests: pallas interpret mode
     sampled_sa: bool = False
     sa_intv: int = 32
 
@@ -279,12 +283,16 @@ def _sort1d_bitonic(keys):
     """Flat ascending sort of i32 key tuples via hybrid bitonic merge.
 
     A [1, N] lax.sort has no row parallelism on TPU; this sorts [G, C]
-    rows with row-parallel lax.sort, then runs Batcher's bitonic merge
-    cascade with STATIC-stride compare-exchange passes — but only at
-    strides >= C: once a merge level's remaining work is C-sized bitonic
-    blocks in final block order, one row-parallel lax.sort finishes the
-    level.  All keys participate in the comparator (append an iota key
-    for stability), so the result equals lax.sort(num_keys=all) exactly.
+    rows with row-parallel lax.sort, then runs the standard XOR-pairing
+    bitonic network with STATIC-stride compare-exchange passes at
+    strides >= C; once a level's remaining work is C-sized bitonic
+    blocks, one row-parallel lax.sort finishes the level.  Block sort
+    DIRECTIONS follow the classic (i & k) rule — descending rows sort
+    via the bitwise-NOT trick — so no reversed views are ever
+    materialized (XLA `rev` measured ~20x bandwidth cost: the reversing
+    flip-merge formulation burned ~1 ms/event at the bench shape).
+    All keys participate in the comparator (append an iota key for
+    stability), so the result equals lax.sort(num_keys=all) exactly.
     """
     import jax
 
@@ -311,47 +319,52 @@ def _sort1d_bitonic(keys):
 
     ks = [jnp.pad(k, (0, NP - N), constant_values=MAXV) for k in keys]
 
-    def rowsort(arrs, width):
-        ops = tuple(a.reshape(NP // width, width) for a in arrs)
+    def rowsort(arrs, width, k_level):
+        """Row-parallel sort; row r descends iff (r*width & k_level) —
+        the classic bitonic direction rule (at the final level
+        k_level == NP every start has the bit clear: all ascending)."""
+        G = NP // width
+        desc = (
+            (jnp.arange(G, dtype=i32) * np.int32(width)) & np.int32(k_level)
+        ) != 0
+        desc = desc[:, None]
+        ops = tuple(
+            jnp.where(desc, ~a.reshape(G, width), a.reshape(G, width))
+            for a in arrs
+        )
         res = jax.lax.sort(ops, dimension=1, num_keys=len(ops))
-        return [r.reshape(NP) for r in res]
+        return [jnp.where(desc, ~r, r).reshape(NP) for r in res]
 
-    def cx(arrs, a_view, b_view):
-        """Compare-exchange two views (lists of low/high elements)."""
-        swap = lt(b_view, a_view)
-        lo = [jnp.where(swap, bb, aa) for aa, bb in zip(a_view, b_view)]
-        hi = [jnp.where(swap, aa, bb) for aa, bb in zip(a_view, b_view)]
-        return lo, hi
-
-    ks = rowsort(ks, min(C0, NP))
-    L = C0
-    while L < NP:
-        # flip pass: merge pairs of ascending runs of length L by
-        # comparing element i of the low run with element (L-1-i) of the
-        # high run — yields two bitonic halves with max(lo) <= min(hi)
-        v = [k.reshape(NP // (2 * L), 2, L) for k in ks]
-        a = [x[:, 0, :] for x in v]
-        b = [x[:, 1, ::-1] for x in v]
-        lo, hi = cx(ks, a, b)
-        ks = [
-            jnp.stack([l_, h[:, ::-1]], axis=1).reshape(NP)
-            for l_, h in zip(lo, hi)
-        ]
-        # clean passes at strides >= C, then a row sort finishes the
-        # C-sized bitonic blocks
-        s = L // 2
+    # initial runs of C0, alternating direction (level k = C0)
+    W0 = min(C0, NP)
+    ks = rowsort(ks, W0, W0 if W0 < NP else NP)
+    k_lv = 2 * W0
+    while k_lv <= NP:
+        s = k_lv // 2
         while s >= C:
-            v = [k.reshape(NP // (2 * s), 2, s) for k in ks]
+            # XOR pass: partner of i is i^s; within the [NP/(2s), 2, s]
+            # reshape the a/b halves pair elementwise, and the block
+            # direction (i & k_lv) is constant per a-row
+            G = NP // (2 * s)
+            up = (
+                (jnp.arange(G, dtype=i32) * np.int32(2 * s))
+                & np.int32(k_lv)
+            ) == 0
+            up = up[:, None]
+            v = [k.reshape(G, 2, s) for k in ks]
             a = [x[:, 0, :] for x in v]
             b = [x[:, 1, :] for x in v]
-            lo, hi = cx(ks, a, b)
+            swap = jnp.where(up, lt(b, a), lt(a, b))
             ks = [
-                jnp.stack([l_, h], axis=1).reshape(NP)
-                for l_, h in zip(lo, hi)
+                jnp.stack(
+                    [jnp.where(swap, bb, aa), jnp.where(swap, aa, bb)],
+                    axis=1,
+                ).reshape(NP)
+                for aa, bb in zip(a, b)
             ]
             s //= 2
-        ks = rowsort(ks, min(C, NP))
-        L *= 2
+        ks = rowsort(ks, min(C, NP), k_lv)
+        k_lv *= 2
     return tuple(k[:N] for k in ks)
 
 
@@ -737,21 +750,26 @@ def _pool_event_step(idx, p: PoolParams, st, ev, ev_on):
     k_i = pstart  # [S] global compacted position of each stay flag
     nxt_rid = jnp.concatenate([rid[1:], jnp.full((1,), B, i32)])
     is_last = nxt_rid != rid
-    k_next = jnp.concatenate([k_i[1:], total_flags[None]])
     # one slot-space broadcast for the candidate-segment scalars
     seg_end_c, tot_valid_slot = _flat_pack([cb[1:], n_valid_r], ridc, p.mxu)
-    k_next = jnp.where(is_last, seg_end_c, k_next)
     wv_pad = jnp.concatenate([wvalid, jnp.zeros((1,), i32)])
 
     # within-read valid count at a global candidate position (clamped to
-    # the read's own segment end => its valid total), both probe points
-    # through ONE gather
-    kpos2 = jnp.concatenate([k_i, k_next])
-    v2 = _flat_take(wv_pad, jnp.minimum(kpos2, np.int32(SC)), p.mxu)
-    inseg2 = (kpos2 < jnp.concatenate([seg_end_c, seg_end_c])) & (kpos2 < SC)
-    tv2 = jnp.concatenate([tot_valid_slot, tot_valid_slot])
-    wv2 = jnp.where(inseg2, v2, tv2)
-    vb, vb_next = wv2[:S], wv2[S:]
+    # the read's own segment end => its valid total).  Only the k_i
+    # probe needs a gather: for non-last slots k_next = k_i of the NEXT
+    # slot and that slot shares the read's segment bounds, so its vb IS
+    # this slot's vb_next (shift); for last-in-read slots the probe sits
+    # at the segment end where inseg is False by construction, so the
+    # answer is the read's valid total — no gather either way (this
+    # halved the 2S-row probe gather, ~0.3 ms/event at B=256).
+    v1 = _flat_take(wv_pad, jnp.minimum(k_i, np.int32(SC)), p.mxu)
+    inseg1 = (k_i < seg_end_c) & (k_i < SC)
+    vb = jnp.where(inseg1, v1, tot_valid_slot)
+    vb_next = jnp.where(
+        is_last,
+        tot_valid_slot,
+        jnp.concatenate([vb[1:], tot_valid_slot[-1:]]),
+    )
     child_any = jnp.minimum(vb_next, np.int32(PC)) > jnp.minimum(vb, np.int32(PC))
     reached = (k_i < SC) & (vb < PC)
     pmc = jax.lax.population_count(st["q_moves"]).astype(i32)
@@ -1214,17 +1232,30 @@ def _pool_event_step(idx, p: PoolParams, st, ev, ev_on):
     # ring: children copy the parent ring and write their cum at the new
     # slot; sources start a zero ring with slot 1 = their prob; carried
     # slots copy their own ring verbatim (ringslot -1 writes nothing)
-    ring_rows = _flat_take(
-        st["q_cum"],
-        jnp.clip(g_rsrc, np.int32(0), np.int32(S - 1)), False, kn="gring",
-    )  # [S, RING] f32
-    ring_iota = jax.lax.broadcasted_iota(i32, (S, RING), 1)
-    base_ring = jnp.where((g_rsrc >= 0)[:, None], ring_rows, f32(0))
-    nq_cum = jnp.where(
-        keep[:, None],
-        jnp.where(ring_iota == g_rslot[:, None], g_rval[:, None], base_ring),
-        f32(0),
-    ).astype(f32)
+    if p.stepkern and "gathers" not in _KNOCKOUT:
+        # VMEM kernel: gather + slot-write + keep masking in one pass
+        # (bit-exact to the XLA formulation below, tests/test_stepkern.py)
+        from ..ops.stepkern import ring_assemble
+
+        nq_cum = ring_assemble(
+            st["q_cum"], g_rsrc, g_rslot, g_rval, keep,
+            interpret=p.stepkern_interpret,
+        )
+    else:
+        ring_rows = _flat_take(
+            st["q_cum"],
+            jnp.clip(g_rsrc, np.int32(0), np.int32(S - 1)), False,
+            kn="gring",
+        )  # [S, RING] f32
+        ring_iota = jax.lax.broadcasted_iota(i32, (S, RING), 1)
+        base_ring = jnp.where((g_rsrc >= 0)[:, None], ring_rows, f32(0))
+        nq_cum = jnp.where(
+            keep[:, None],
+            jnp.where(
+                ring_iota == g_rslot[:, None], g_rval[:, None], base_ring
+            ),
+            f32(0),
+        ).astype(f32)
 
     out = dict(st)
     new_pool = {
@@ -1356,6 +1387,7 @@ class PooledEngine:
         # measured 0.7 ms/event faster on v5e
         over.setdefault("sort_mode", "bitonic" if on_tpu else "flat")
         over.setdefault("tracker_kernel", on_tpu)
+        over.setdefault("stepkern", on_tpu)
         self.params = PoolParams.from_conf(self.conf, **over)
         self.fmi = fmi
         self.model = model
