@@ -1147,6 +1147,17 @@ def _pool_event_step(idx, p: PoolParams, st, ev, ev_on):
         cls_H, n_ck + g_hgst + (r_in - g_nd), g_ckst + r_in
     )
     idx_AH = ah_map.at(q_ah, p.mxu, kn="gmap")
+    # H sources arrive interleaved (SC + 2c + b in the map's hg region =
+    # creation order); the unified table stores head/gap as CONTIGUOUS
+    # [SC] blocks instead (the stack+reshape interleave materialization
+    # cost ~0.4 ms/event), so remap SC + 2c + b -> SC + b*SC + c
+    h_off = idx_AH - np.int32(SC)
+    idx_AH = jnp.where(
+        cls_H,
+        np.int32(SC) + (h_off & np.int32(1)) * np.int32(SC)
+        + (h_off >> np.int32(1)),
+        idx_AH,
+    )
     idx_F = jnp.clip(
         bj * np.int32(FS) + (r_in - g_nd - g_hgk),
         np.int32(0), np.int32(B * FS - 1),
@@ -1164,7 +1175,8 @@ def _pool_event_step(idx, p: PoolParams, st, ev, ev_on):
     #         ringsrc (pool row to copy the prob ring from; -1 = zeros),
     #         ringslot (ring slot to overwrite; -1 = none), ringval.
     ones_sc = jnp.ones((SC,), i32)
-    il2 = lambda a_, b_: jnp.stack([a_, b_], axis=1).reshape(2 * SC)
+    # head block then gap block (contiguous, matching the idx_AH remap)
+    il2 = lambda a_, b_: jnp.concatenate([a_, b_])
     # F-part fields in [B*FS] space (same index count the per-slot
     # gathers cost before: FS*B == S)
     fkm_full = f_kmer.reshape(B * FS)
