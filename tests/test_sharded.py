@@ -66,3 +66,32 @@ def test_sharded_paf_identical(
     got = {p.rd_name: p.to_line() for p in bm.map_reads(reads)}
     for rid in GOLDEN_SUBSET:
         assert got[rid] == golden_pafs[rid], rid
+
+
+def test_sharded_pooled_paf_identical(
+    mesh, example_index, example_threshes, pore_model, make_read,
+    golden_reads, golden_pafs,
+):
+    """The FLAGSHIP pooled engine, dp+idx sharded, through the real
+    BatchMapper loop: golden byte-PAF parity on the virtual mesh."""
+    from uncalled_tpu.parallel import ShardedPooledEngine
+
+    conf = Conf()
+    conf.engine.batch_reads = 4
+    conf.engine.pooled = True
+    conf.engine.pool_slots_per_read = 512
+    eng = ShardedPooledEngine(
+        example_index, pore_model, example_threshes, conf, mesh=mesh,
+    )
+    assert eng.params.S % 2 == 0 and eng._p_local.S == eng.params.S // 2
+    occ = eng._tables["occ_rows"]
+    assert {s.data.shape[0] for s in occ.addressable_shards} == {
+        occ.shape[0] // 4
+    }
+    bm = BatchMapper(
+        example_index, pore_model, example_threshes, conf, engine=eng
+    )
+    reads = [make_read(r, golden_reads[r]) for r in GOLDEN_SUBSET]
+    got = {p.rd_name: p.to_line() for p in bm.map_reads(reads)}
+    for rid in GOLDEN_SUBSET:
+        assert got[rid] == golden_pafs[rid], rid

@@ -5,6 +5,6 @@
 - sharded FM-index for large references: :mod:`.sharded`.
 """
 
-from .sharded import ShardedMapEngine
+from .sharded import ShardedMapEngine, ShardedPooledEngine
 
-__all__ = ["ShardedMapEngine"]
+__all__ = ["ShardedMapEngine", "ShardedPooledEngine"]

@@ -30,6 +30,7 @@ from ..config import Conf
 from ..mapping.engine import (
     EngineParams, MapEngine, advance_block, device_index, make_state,
 )
+from ..mapping.pooled import PooledEngine
 
 
 def _pad_rows(a: np.ndarray, mult: int) -> np.ndarray:
@@ -135,6 +136,153 @@ class ShardedMapEngine(MapEngine):
         return jax.tree.map(
             jax.device_put, make_state(self.params), self._state_sharding
         )
+
+    def advance(self, state, means, on):
+        import jax.numpy as jnp
+
+        means = jnp.asarray(means, dtype=jnp.float32)
+        on = jnp.asarray(on, dtype=bool)
+        return self._advance(state, means, on, self._tables)
+
+
+class ShardedPooledEngine(PooledEngine):
+    """The flagship pooled engine over a (dp, idx) mesh.
+
+    Same layout as :class:`ShardedMapEngine` — read slots (and their
+    pool segments) shard over ``dp``; the occ buckets and sampled SA
+    shard over ``idx`` with psum-combined answers (engine._shard_take).
+    Every batch-total pool budget (S, SC, RE, RT) divides across the dp
+    shards, so each shard runs the standard step on its local
+    B/ndp-read pool; per-read budgets (PC, R, FS, CL) are untouched —
+    the reference's max_paths parity holds per read exactly as in the
+    single-chip engine.  (Physical-cut ovf flags can differ from the
+    unsharded engine only when a burst would overflow a shard-local
+    budget but not the batch-global one; those reads re-run on the
+    ladder either way.)
+
+    Byte-exactness: tests/test_sharded.py proves golden-PAF identity on
+    the virtual CPU mesh through the real BatchMapper loop.
+    """
+
+    def __init__(self, fmi, model, threshes, conf: Conf | None = None,
+                 mesh=None, dp_axis: str = "dp", idx_axis: str = "idx",
+                 **over):
+        import jax
+        from jax import shard_map
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..mapping.pooled import (
+            PoolParams, make_pool_state, pool_advance_block,
+            reset_pool_rows,
+        )
+
+        if mesh is None:
+            raise ValueError("ShardedPooledEngine needs a jax Mesh")
+        self.conf = conf or Conf()
+        # pallas kernels / MXU routing inside shard_map: future work
+        over.setdefault("mxu", False)
+        over.setdefault("sort_mode", "flat")
+        over.setdefault("tracker_kernel", False)
+        over.setdefault("stepkern", False)
+        over.setdefault("sampled_sa", True)
+        self.params = PoolParams.from_conf(self.conf, **over)
+        p = self.params
+        ndp = mesh.shape[dp_axis]
+        nix = mesh.shape[idx_axis]
+        for name, v in (("B", p.B), ("S", p.S), ("SC", p.SC),
+                        ("RE", p.RE), ("RT", p.RT)):
+            if v % ndp:
+                raise ValueError(f"{name}={v} not divisible by dp={ndp}")
+        self.mesh = mesh
+        self.fmi = fmi
+        self.model = model
+
+        base = device_index(
+            fmi, threshes, model, sampled_sa=p.sampled_sa,
+            sa_intv=p.sa_intv,
+        )
+        big_keys = ["occ_rows"] + (
+            ["sa_samp"] if p.sampled_sa else ["sa"]
+        )
+        self._meta = {"n": base["n"], "primary": base["primary"]}
+        small = {
+            k: v for k, v in base.items()
+            if k not in big_keys + ["n", "primary"]
+        }
+        sharded1 = NamedSharding(mesh, P(idx_axis))
+        sharded2 = NamedSharding(mesh, P(idx_axis, None))
+        repl = NamedSharding(mesh, P())
+        self._tables = {}
+        tbl_specs = {}
+        for k in big_keys:
+            a = _pad_rows(np.asarray(base[k]), nix)
+            sh = sharded2 if a.ndim == 2 else sharded1
+            self._tables[k] = jax.device_put(a, sh)
+            tbl_specs[k] = P(idx_axis, None) if a.ndim == 2 else P(idx_axis)
+        for k, v in small.items():
+            self._tables[k] = jax.device_put(v, repl)
+            tbl_specs[k] = P()
+
+        # local-view params: each dp shard runs B/ndp reads on an
+        # S/ndp-slot pool with its share of the batch-total budgets
+        p_local = PoolParams(
+            **{
+                **p.__dict__,
+                "B": p.B // ndp,
+                "S": p.S // ndp,
+                "SC": p.SC // ndp,
+                "RE": p.RE // ndp,
+                "RT": p.RT // ndp,
+            }
+        )
+        self._p_local = p_local
+        meta = dict(self._meta)
+
+        def raw(state, means, on, tables):
+            idx = dict(tables, **meta, shard_axis=idx_axis)
+            return pool_advance_block(idx, p_local, state, means, on)
+
+        st_shape = make_pool_state(p)
+        st_specs = jax.tree.map(lambda _: P(dp_axis), st_shape)
+        self._state_sharding = jax.tree.map(
+            lambda _: NamedSharding(mesh, P(dp_axis)), st_shape
+        )
+        self._advance = jax.jit(
+            shard_map(
+                raw,
+                mesh=mesh,
+                in_specs=(st_specs, P(dp_axis, None), P(dp_axis, None),
+                          tbl_specs),
+                out_specs=st_specs,
+            ),
+            donate_argnums=(0,),
+        )
+        # reset must run PER SHARD: pool read-ids (q_rid) are shard-
+        # local (the step runs with B/ndp), so the mask[rid] gather and
+        # the dead marker only make sense in the local view
+        self._reset = jax.jit(
+            shard_map(
+                reset_pool_rows,
+                mesh=mesh,
+                in_specs=(st_specs, P(dp_axis)),
+                out_specs=st_specs,
+            ),
+            donate_argnums=(0,),
+        )
+
+    def fresh_state(self):
+        import jax
+        import jax.numpy as jnp
+
+        from ..mapping.pooled import make_pool_state
+
+        fresh = make_pool_state(self.params)
+        # dead-slot marker is the LOCAL batch size (each shard's step
+        # runs with B/ndp read slots; rid values are shard-local)
+        fresh["q_rid"] = jnp.full(
+            (self.params.S,), self._p_local.B, jnp.int32
+        )
+        return jax.tree.map(jax.device_put, fresh, self._state_sharding)
 
     def advance(self, state, means, on):
         import jax.numpy as jnp
