@@ -176,7 +176,7 @@ def main():
     # with the pooled wide tier, rung #2 is the classic P=10000 final
     # backstop — a 30+ min compile for a program the wide pool makes
     # ~unreachable, so default to warming the wide tier only
-    n_warm_rungs = int(os.environ.get("BENCH_WARM_LADDER", "1"))
+    n_warm_rungs = int(os.environ.get("BENCH_WARM_LADDER", "2"))
     # pre-compile every program the timed region can touch (advance AND
     # slot-reset for the straggler-drain mapper and the first remap
     # rungs) so no cold compile lands inside the timing; compiles persist
@@ -257,7 +257,10 @@ def main():
     _m = bm
     while _m._next_mapper is not None:
         _m = _m._next_mapper
-        _patch(_m, f"rung{_m._rung}")
+        _tag = f"rung{_m._rung}" + (
+            f"t{_m._pool_tier}" if _m._pool_tier else ""
+        )
+        _patch(_m, _tag)
     _og_drain = BatchMapper._get_drain
     _og_next = BatchMapper._get_next
 
@@ -354,6 +357,7 @@ def main():
             rig_reads = [r for r in timed_reads if r.id in sample]
         same = 0
         total = 0
+        rig_disagree = []
         mis_set = set(mismapped)
         mis_same = 0
         with tempfile.TemporaryDirectory() as td:
@@ -374,9 +378,13 @@ def main():
                 hit = line == ours.get(r.id)
                 same += hit
                 mis_same += hit and (r.id in mis_set)
+                if not hit:
+                    rig_disagree.append(r.id)
         rig_agree = round(same / max(total, 1), 4)
         if mismapped:
             rig_agree_mismapped = round(mis_same / len(mismapped), 4)
+        if rig_disagree:
+            print(f"rig disagreements: {rig_disagree}", file=sys.stderr)
 
     print(
         json.dumps(
@@ -413,6 +421,8 @@ def main():
                     },
                     "demand_p50_p99_max": dmstats,
                     **({"rig_agree": rig_agree} if rig_agree is not None else {}),
+                    **({"rig_disagree_ids": rig_disagree[:16]}
+                       if rig_agree is not None and rig_disagree else {}),
                     **({"rig_agree_mismapped": rig_agree_mismapped}
                        if rig_agree_mismapped is not None else {}),
                 },

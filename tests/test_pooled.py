@@ -172,14 +172,16 @@ def test_pooled_exhaustion_chains_to_classic_final_rung(
     example_index, example_threshes, pore_model, make_read, golden_reads,
     golden_pafs,
 ):
-    """When the wide pool tier ALSO trips (tiny pool_wide), the classic
-    final rung must restore byte parity."""
+    """When the pooled eject tiers ALL trip (tiny pool_wide/pool_max),
+    the classic final rung must restore byte parity."""
     from uncalled_tpu.mapping.engine import MapEngine
+    from uncalled_tpu.mapping.pooled import PooledEngine
 
     conf = Conf()
     conf.engine.batch_reads = 2
     conf.engine.pooled = True
     conf.engine.pool_wide = (96, 256)  # wide tier still far too small
+    conf.engine.pool_max = (112, 256)  # max tier too
     conf.engine.remap_ladder = ((1024, 2, 128, 256, 0),)
     rid = "sim_0000_Escherichia_coli_3854_+"
     reads = [make_read(rid, golden_reads[rid])]
@@ -189,7 +191,10 @@ def test_pooled_exhaustion_chains_to_classic_final_rung(
     got = {p.rd_name: p.to_line() for p in bm.map_reads(reads)}
     wide = bm._next_mapper
     assert wide.ovf_why, "tiny wide pool must also overflow"
-    assert isinstance(wide._next_mapper.eng, MapEngine), "final rung classic"
+    pmax = wide._next_mapper
+    assert isinstance(pmax.eng, PooledEngine) and pmax._pool_tier == 2
+    assert pmax.ovf_why, "tiny max pool must also overflow"
+    assert isinstance(pmax._next_mapper.eng, MapEngine), "final rung classic"
     assert got[rid] == golden_pafs[rid]
 
 

@@ -151,6 +151,14 @@ class EngineParams:
     # physical cuts fall through to the classic final rung.  () disables
     # (ejects route straight onto the classic remap ladder).
     pool_wide: tuple = (1536, 4096)  # (slots_per_read, clusters)
+    # second pooled tier for the wide tier's own evictions (in practice:
+    # un-decidable "foreign" reads that wander the whole reference and
+    # accumulate clusters without bound — the reference's std::set has
+    # no cap, so matching its output needs a deep table).  Before this
+    # tier existed those reads fell through to the classic P=10000
+    # rung, whose per-event cost is superlinear in P (~1.3 s/block:
+    # 7 such reads burned ~315 s of a 353 s bench run).
+    pool_max: tuple = (4096, 16384)  # (slots_per_read, clusters)
     # straggler drain: once the input queue is empty and few reads
     # remain, restart them on a B/8-wide mapper (step cost ~ B) instead
     # of paying full-width steps for a near-empty batch

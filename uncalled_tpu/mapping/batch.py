@@ -95,6 +95,18 @@ class BatchMapper:
         # lower bounds for overflowed reads, exact otherwise
         self.demand: dict = {}
 
+    def _pool_tiers(self):
+        """Enabled pooled eject tiers, as a truthy PREFIX of
+        (pool_wide, pool_max): disabling pool_wide disables the whole
+        pooled tier chain (ejects route straight onto the classic
+        ladder, as the pool_wide docstring promises)."""
+        tiers = []
+        for t in (self.conf.engine.pool_wide, self.conf.engine.pool_max):
+            if not t:
+                break
+            tiers.append(t)
+        return tiers
+
     def _get_next(self) -> "BatchMapper":
         """Next (wider) ladder rung for reads whose run here tripped a
         budget; built lazily, cached.
@@ -109,21 +121,24 @@ class BatchMapper:
 
         en = self.conf.engine
         if self._next_mapper is None:
+            tiers = self._pool_tiers()
             if (
                 isinstance(self.eng, PooledEngine)
-                and self._pool_tier == 0
-                and en.pool_wide
+                and self._pool_tier < len(tiers)
             ):
-                slots, CLw = en.pool_wide
-                # ejects are a few reads per batch; a B/16 slot array
-                # keeps the wide pool's per-event cost (~prop. to S) low
-                # while still amortizing several concurrent stragglers
-                Bw = max(2, self.eng.params.B // 16)
+                slots, CLw = tiers[self._pool_tier]
+                # ejects are a few reads per batch; a narrow slot array
+                # keeps the tier's per-event cost (~prop. to S) low
+                # while still amortizing several concurrent stragglers.
+                # The entry batch size anchors the shrink so chained
+                # tiers don't collapse to B=2.
+                B0 = self.eng.params.B * (16 ** self._pool_tier)
+                Bw = max(2, B0 // (16 * (2 ** self._pool_tier)))
                 self._next_mapper = BatchMapper(
                     self.fmi, self.model, self.threshes, self.conf,
                     emit_timing=self.emit_timing,
                     _rung=max(len(en.remap_ladder) - 1, 0),
-                    _pool_tier=1,
+                    _pool_tier=self._pool_tier + 1,
                     engine=PooledEngine(
                         self.fmi, self.model, self.threshes, self.conf,
                         B=Bw, S=Bw * slots, SC=Bw * slots + Bw * slots // 4,
@@ -522,8 +537,7 @@ class BatchMapper:
 
             if (
                 isinstance(self.eng, PooledEngine)
-                and self._pool_tier == 0
-                and self.conf.engine.pool_wide
+                and self._pool_tier < len(self._pool_tiers())
             ):
                 yield from self._get_next().map_reads(
                     [read for read, _, _ in overflowed]
