@@ -150,7 +150,13 @@ class EngineParams:
     # the pools is the only dimension that matters); only ITS rare
     # physical cuts fall through to the classic final rung.  () disables
     # (ejects route straight onto the classic remap ladder).
-    pool_wide: tuple = (1536, 4096)  # (slots_per_read, clusters)
+    # cluster capacity 16384: foreign/un-decidable reads accumulate
+    # clusters without bound (the reference's std::set has no cap) and a
+    # wide tier that ALSO evicts them just forwards the read to the next
+    # tier after re-burning its whole stream — measured 13.8 s (tier at
+    # CL=4096) + 24.9 s (next tier) for 18 such reads; one deep tier
+    # runs them once.
+    pool_wide: tuple = (1536, 16384)  # (slots_per_read, clusters)
     # second pooled tier for the wide tier's own evictions (in practice:
     # un-decidable "foreign" reads that wander the whole reference and
     # accumulate clusters without bound — the reference's std::set has
@@ -158,7 +164,7 @@ class EngineParams:
     # tier existed those reads fell through to the classic P=10000
     # rung, whose per-event cost is superlinear in P (~1.3 s/block:
     # 7 such reads burned ~315 s of a 353 s bench run).
-    pool_max: tuple = (4096, 16384)  # (slots_per_read, clusters)
+    pool_max: tuple = (4096, 65536)  # (slots_per_read, clusters)
     # straggler drain: once the input queue is empty and few reads
     # remain, restart them on a B/8-wide mapper (step cost ~ B) instead
     # of paying full-width steps for a near-empty batch
