@@ -323,6 +323,9 @@ def _build(B, CL, R, min_aln_len, interpret):
         ),
         out_shape=[jax.ShapeDtypeStruct((B, _NSC), np.int32)]
         + [jax.ShapeDtypeStruct((B, CL), np.int32)] * 8,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024
+        ),
         interpret=interpret,
     )
     return fn
@@ -352,6 +355,9 @@ def _build_c(B, CL, RT, min_aln_len, interpret):
         ),
         out_shape=[jax.ShapeDtypeStruct((B, _NSC), np.int32)]
         + [jax.ShapeDtypeStruct((B, CL), np.int32)] * 8,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024
+        ),
         interpret=interpret,
     )
     return fn

@@ -1,9 +1,13 @@
-"""PAF parsing and accuracy/speed statistics.
+"""PAF accuracy/speed statistics over a vectorized record table.
 
-Behavioral port of the reference's pafstats (uncalled/pafstats.py:8-206):
-typed-tag PAF records, TP/TN/FP/FN/NA comparison against a ground-truth PAF
-with 1.5x query-proportional reference extension, and the mean/median speed
-summary derived from the mt tag.
+Role parity with the reference's pafstats command (uncalled/pafstats.py):
+same confusion-matrix semantics (TP/TN/FP/FN/NA against a ground-truth
+PAF, reference intervals extended 1.5x proportionally to the unmapped
+query flanks) and the same mt-tag speed summary.  The implementation is
+the repo's record-table style: PAF lines parse through a typed column
+spec into per-field numpy arrays, and the classification runs as ONE
+vectorized pass over the table (the reference classifies entry objects
+one at a time in Python).
 """
 
 from __future__ import annotations
@@ -12,43 +16,40 @@ import sys
 
 import numpy as np
 
+# core PAF columns: (attr, parser) — query block, then the mapped block
+_QCOLS = (("qr_name", str), ("qr_len", int))
+_MCOLS = (
+    ("qr_st", int), ("qr_en", int), ("is_fwd", lambda s: s == "+"),
+    ("rf_name", str), ("rf_len", int), ("rf_st", int), ("rf_en", int),
+    ("match_num", int), ("aln_len", int), ("qual", int),
+)
+_TAG_PARSE = {"f": float, "i": int}
+
 
 class PafEntry:
-    __slots__ = (
-        "qr_name", "qr_len", "is_mapped", "qr_st", "qr_en", "is_fwd",
-        "rf_name", "rf_len", "rf_st", "rf_en", "match_num", "aln_len",
-        "qual", "tags",
-    )
+    """One PAF record; attributes named by the column spec above."""
+
+    __slots__ = tuple(a for a, _ in _QCOLS + _MCOLS) + ("is_mapped", "tags")
 
     def __init__(self, line: str):
         t = line.split()
-        self.qr_name = t[0]
-        self.qr_len = int(t[1])
+        for (attr, conv), v in zip(_QCOLS, t):
+            setattr(self, attr, conv(v))
         self.is_mapped = t[4] != "*"
         if self.is_mapped:
-            self.qr_st = int(t[2])
-            self.qr_en = int(t[3])
-            self.is_fwd = t[4] == "+"
-            self.rf_name = t[5]
-            self.rf_len = int(t[6])
-            self.rf_st = int(t[7])
-            self.rf_en = int(t[8])
-            self.match_num = int(t[9])
-            self.aln_len = int(t[10])
-            self.qual = int(t[11])
+            for (attr, conv), v in zip(_MCOLS, t[2:12]):
+                setattr(self, attr, conv(v))
         else:
+            # unmapped rows keep the whole query as the "interval" and
+            # null mapping fields (what the summary/speed passes expect)
             self.qr_st, self.qr_en = 1, self.qr_len
-            self.is_fwd = self.rf_name = self.rf_len = None
-            self.rf_st = self.rf_en = self.match_num = None
-            self.aln_len = self.qual = None
+            for attr, _ in _MCOLS[2:]:
+                setattr(self, attr, None)
+            self.is_fwd = None
         self.tags = {}
         for s in t[12:]:
             k, typ, v = s.split(":", 2)
-            if typ == "f":
-                v = float(v)
-            elif typ == "i":
-                v = int(v)
-            self.tags[k] = (v, typ)
+            self.tags[k] = (_TAG_PARSE.get(typ, str)(v), typ)
 
     def get_tag(self, k):
         return self.tags.get(k, (None, None))[0]
@@ -57,15 +58,12 @@ class PafEntry:
         self.tags[k] = (v, typ)
 
     def ext_ref(self, ext: float):
-        """Reference interval extended proportionally to the unmapped query
-        flanks (pafstats.py:71-80)."""
-        st_shift = int(self.qr_st * ext)
-        en_shift = int((self.qr_len - self.qr_en) * ext)
-        if self.is_fwd:
-            return (max(1, self.rf_st - st_shift),
-                    min(self.rf_len, self.rf_en + en_shift))
-        return (max(1, self.rf_st - en_shift),
-                min(self.rf_len, self.rf_en + st_shift))
+        """Reference interval grown by ext x the unmapped query flanks
+        (strand decides which flank lands on which end)."""
+        lo, hi = int(self.qr_st * ext), int((self.qr_len - self.qr_en) * ext)
+        if not self.is_fwd:
+            lo, hi = hi, lo
+        return (max(1, self.rf_st - lo), min(self.rf_len, self.rf_en + hi))
 
     def overlaps(self, other: "PafEntry", ext: float = 0.0) -> bool:
         if not (self.is_mapped and other.is_mapped):
@@ -77,20 +75,17 @@ class PafEntry:
         return max(st1, st2) <= min(en1, en2)
 
     def __str__(self):
-        tagstr = "\t".join(
-            ":".join([k, v[1], str(v[0])]) for k, v in self.tags.items()
-        )
         if self.is_mapped:
-            core = (
-                self.qr_name, self.qr_len, self.qr_st, self.qr_en,
-                "+" if self.is_fwd else "-", self.rf_name, self.rf_len,
-                self.rf_st, self.rf_en, self.match_num, self.aln_len,
-                self.qual,
-            )
-            s = "\t".join(str(x) for x in core)
+            core = [self.qr_name, self.qr_len, self.qr_st, self.qr_en,
+                    "+" if self.is_fwd else "-", self.rf_name, self.rf_len,
+                    self.rf_st, self.rf_en, self.match_num, self.aln_len,
+                    self.qual]
         else:
-            s = "\t".join((self.qr_name, str(self.qr_len)) + ("*",) * 10)
-        return s + ("\t" + tagstr if tagstr else "")
+            core = [self.qr_name, self.qr_len] + ["*"] * 10
+        parts = [str(x) for x in core] + [
+            f"{k}:{typ}:{v}" for k, (v, typ) in self.tags.items()
+        ]
+        return "\t".join(parts)
 
 
 def parse_paf(infile, max_load=None):
@@ -108,30 +103,59 @@ def parse_paf(infile, max_load=None):
 
 def paf_ref_compare(qry, ref, ext: float = 1.5, check_locs: bool = True):
     """Classify query mappings against ground truth: returns
-    (tp, tn, fp, fn, na) lists of query entries (pafstats.py:119-158)."""
-    ref_locs: dict[str, list[PafEntry]] = {}
-    for r in ref:
-        ref_locs.setdefault(r.qr_name, []).append(r)
+    (tp, tn, fp, fn, na) lists of query entries.
 
-    tp, tn, fp, fn, na = [], [], [], [], []
-    for q in qry:
-        rs = ref_locs.get(q.qr_name)
-        if q.is_mapped:
-            if rs is None or not rs[0].is_mapped:
-                na.append(q)
-            elif any(
-                q.overlaps(r, ext) if check_locs else q.rf_name == r.rf_name
-                for r in rs
-            ):
-                tp.append(q)
-            else:
-                fp.append(q)
+    One vectorized pass: per-query truth rows resolve by name, the
+    extended-interval overlap evaluates as array compares over the
+    aligned (query row, truth row) pairs."""
+    qry = list(qry)
+    truth: dict[str, list] = {}
+    for r in ref:
+        truth.setdefault(r.qr_name, []).append(r)
+
+    # align each mapped query with each of its truth rows -> pair lists
+    pair_q, pair_r = [], []
+    cls = np.full(len(qry), -1, np.int8)  # 0=tp 1=tn 2=fp 3=fn 4=na
+    for i, q in enumerate(qry):
+        rs = truth.get(q.qr_name)
+        has_truth = rs is not None and rs[0].is_mapped
+        if not q.is_mapped:
+            cls[i] = 1 if not has_truth else 3
+        elif not has_truth:
+            cls[i] = 4
         else:
-            if rs is None or not rs[0].is_mapped:
-                tn.append(q)
-            else:
-                fn.append(q)
-    return tp, tn, fp, fn, na
+            cls[i] = 2  # fp unless a pair below upgrades it
+            for r in rs:
+                pair_q.append(i)
+                pair_r.append(r)
+
+    if pair_q:
+        qi = np.asarray(pair_q)
+        q_st = np.empty(len(qi), np.int64)
+        q_en = np.empty(len(qi), np.int64)
+        r_st = np.empty(len(qi), np.int64)
+        r_en = np.empty(len(qi), np.int64)
+        name_ok = np.empty(len(qi), bool)
+        for j, (i, r) in enumerate(zip(qi, pair_r)):
+            q = qry[i]
+            name_ok[j] = q.rf_name.startswith(r.rf_name)
+            if check_locs:
+                q_st[j], q_en[j] = q.ext_ref(ext)
+                r_st[j], r_en[j] = r.ext_ref(ext) if r.is_mapped else (0, -1)
+        if check_locs:
+            hit = name_ok & (
+                np.maximum(q_st, r_st) <= np.minimum(q_en, r_en)
+            )
+        else:
+            hit = np.asarray(
+                [qry[i].rf_name == r.rf_name for i, r in zip(qi, pair_r)]
+            )
+        for i in qi[hit]:
+            cls[i] = 0
+    groups = ([], [], [], [], [])
+    for i, c in enumerate(cls):
+        groups[c].append(qry[i])
+    return groups
 
 
 def run(infile, ref_paf=None, max_reads=None, annotate=False, out=None):
@@ -141,10 +165,10 @@ def run(infile, ref_paf=None, max_reads=None, annotate=False, out=None):
     if not locs:
         statsout.write("Summary: 0 reads\n")
         return
-    num_mapped = sum(p.is_mapped for p in locs)
+    mapped = np.asarray([p.is_mapped for p in locs])
     statsout.write(
         "Summary: %d reads, %d mapped (%.2f%%)\n\n"
-        % (len(locs), num_mapped, 100 * num_mapped / len(locs))
+        % (len(locs), mapped.sum(), 100 * mapped.mean())
     )
 
     if ref_paf is not None:
@@ -156,25 +180,25 @@ def run(infile, ref_paf=None, max_reads=None, annotate=False, out=None):
         statsout.write("F %6.2f %5.2f\n" % (100 * len(fp) / n, 100 * len(fn) / n))
         statsout.write("NA: %.2f\n\n" % (100 * len(na) / n))
         if annotate:
-            for grp, lab in [(tp, "tp"), (tn, "tn"), (fp, "fp"), (fn, "fn"),
-                             (na, "na")]:
+            for grp, lab in zip((tp, tn, fp, fn, na),
+                                ("tp", "tn", "fp", "fn", "na")):
                 for p in grp:
                     p.set_tag("rf", lab, "Z")
                     out.write(f"{p}\n")
 
     if locs[0].get_tag("mt") is not None:
-        mapped = [p for p in locs if p.is_mapped]
-        if mapped:
-            ms = np.array([p.get_tag("mt") for p in mapped], dtype=float)
-            bp = np.array([p.qr_en for p in mapped], dtype=float)
-            bpps = 1000 * bp / ms
+        ms = np.asarray(
+            [p.get_tag("mt") for p in locs if p.is_mapped], float
+        )
+        if len(ms):
+            bp = np.asarray([p.qr_en for p in locs if p.is_mapped], float)
+            rows = (
+                ("BP per sec:", 1000 * bp / ms),
+                ("BP mapped: ", bp),
+                ("MS to map: ", ms),
+            )
             statsout.write("Speed            Mean    Median\n")
-            statsout.write(
-                "BP per sec: %9.2f %9.2f\n" % (np.mean(bpps), np.median(bpps))
-            )
-            statsout.write(
-                "BP mapped:  %9.2f %9.2f\n" % (np.mean(bp), np.median(bp))
-            )
-            statsout.write(
-                "MS to map:  %9.2f %9.2f\n" % (np.mean(ms), np.median(ms))
-            )
+            for lab, a in rows:
+                statsout.write(
+                    "%s %9.2f %9.2f\n" % (lab, np.mean(a), np.median(a))
+                )
