@@ -150,12 +150,15 @@ class EngineParams:
     # the pools is the only dimension that matters); only ITS rare
     # physical cuts fall through to the classic final rung.  () disables
     # (ejects route straight onto the classic remap ladder).
-    # cluster capacity 16384: foreign/un-decidable reads accumulate
-    # clusters without bound (the reference's std::set has no cap) and a
-    # wide tier that ALSO evicts them just forwards the read to the next
-    # tier after re-burning its whole stream — measured 13.8 s (tier at
-    # CL=4096) + 24.9 s (next tier) for 18 such reads; one deep tier
-    # runs them once.
+    # WIDE + DEEP: bench ejects are dominated by foreign/un-decidable
+    # reads that wander the whole reference — they accumulate clusters
+    # without bound (the reference's std::set has no cap; CL=16384
+    # absorbs every observed demand) AND burst 5-7k candidate flags per
+    # event (dm_flags p99 ~6k), so a deep-but-narrow tier (384
+    # slots/read) just re-ejects them through a second tier at the same
+    # total cost (measured 7.8 + 13.9 s split vs 20.8 s single-tier for
+    # the 18 foreign bench reads).  One wide+deep re-run is the floor
+    # short of giving up early, which parity forbids.
     pool_wide: tuple = (1536, 16384)  # (slots_per_read, clusters)
     # second pooled tier for the wide tier's own evictions (in practice:
     # un-decidable "foreign" reads that wander the whole reference and
