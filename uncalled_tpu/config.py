@@ -172,7 +172,10 @@ class EngineParams:
     # remain, restart them on a B/8-wide mapper (step cost ~ B) instead
     # of paying full-width steps for a near-empty batch
     drain_shrink: bool = True
-    drain_min_batch: int = 64  # smallest B that still drains to B/4
+    # smallest B that still drains to B/4: low enough that the eject
+    # TIERS (B=16) chain to B=4 drains too — their straggler tails are
+    # the longest streams in the whole run (undecidable foreign reads)
+    drain_min_batch: int = 8
     # remap ladder: reads whose engine run trips ANY fixed budget (path /
     # candidate / seed-row / cluster capacity) are EJECTED EARLY and
     # re-mapped on a wider rung, so narrow budgets are a throughput

@@ -1244,7 +1244,12 @@ def _pool_event_step(idx, p: PoolParams, st, ev, ev_on):
     # ring: children copy the parent ring and write their cum at the new
     # slot; sources start a zero ring with slot 1 = their prob; carried
     # slots copy their own ring verbatim (ringslot -1 writes nothing)
-    if p.stepkern and "gathers" not in _KNOCKOUT:
+    # VMEM budget: the ring kernel holds the [S, 32] table + the packed
+    # output + per-slot aux in VMEM (~1.25 KB/slot with lane padding);
+    # past ~128k slots it cannot fit alongside the pipeline buffers
+    # (B=512's S=196608 measured 151 MB of 128).  Bigger pools take the
+    # XLA formulation.
+    if p.stepkern and S <= 131072 and "gathers" not in _KNOCKOUT:
         # VMEM kernel: gather + slot-write + keep masking in one pass
         # (bit-exact to the XLA formulation below, tests/test_stepkern.py)
         from ..ops.stepkern import ring_assemble
