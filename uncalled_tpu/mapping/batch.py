@@ -247,9 +247,11 @@ class BatchMapper:
             mask = (mm >= ed.min_mean) & (mm <= ed.max_mean)
             mm, ll = mm[mask], ll[mask]
             mel = F32(ll.sum()) / F32(len(ll)) if len(ll) else F32(0)
+            # normalization targets are the PORE MODEL's own mean/stdv
+            # (mapper.cpp:94 set_target(model.get_means_mean(), ...)); the
+            # conf defaults are only the Normalizer PRMS_DEF fallback
             norm, _, _ = normalize_events(
-                mm, self.conf.normalizer.tgt_mean,
-                self.conf.normalizer.tgt_stdv,
+                mm, self.model.means_mean, self.model.means_stdv,
             )
             slots.append(
                 _Slot(read=r, means=norm[:cap], fed=0, mean_evt_len=mel)
@@ -268,7 +270,7 @@ class BatchMapper:
         else:
             mel = F32(0)
         norm, _, _ = normalize_events(
-            ev["mean"], self.conf.normalizer.tgt_mean, self.conf.normalizer.tgt_stdv
+            ev["mean"], self.model.means_mean, self.model.means_stdv
         )
         cap = self.conf.mapper.max_events
         return _Slot(read=read, means=norm[:cap], fed=0, mean_evt_len=mel)

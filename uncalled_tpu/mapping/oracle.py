@@ -254,8 +254,11 @@ class OracleMapper:
         varsum = F64(0.0)
         for e in means:
             varsum += (F64(e) - gmean) ** 2
-        scale = F32(conf.normalizer.tgt_stdv / np.sqrt(varsum / n))
-        shift = F32(conf.normalizer.tgt_mean - scale * gmean)
+        # targets = the pore model's own mean/stdv (mapper.cpp:94
+        # set_target(model.get_means_mean(), model.get_means_stdv());
+        # the conf values are only the Normalizer PRMS_DEF fallback)
+        scale = F32(model.means_stdv / np.sqrt(varsum / n))
+        shift = F32(model.means_mean - scale * gmean)
         norm_means = (scale * means.astype(F32) + shift).astype(F32)
 
         tracker = SeedTracker(conf.seed_tracker)
@@ -365,7 +368,15 @@ class OracleMapper:
             new_paths = [child_state(*c) for c in cands]
 
             # ---- sort, dedup, and source creation (mapper.cpp:527-624) ----
-            sorted_paths = sorted(new_paths, key=lambda r: (r[0], r[1], r[8]))
+            # full-tie order matches the reference's pdqsort: its
+            # equal-element partition (partition_left) REVERSES runs of
+            # equal keys, so candidates with identical (start, end,
+            # seedprob) — poly-k-mer "stay twins" whose last-22 windows
+            # coincide — sort latest-created-first.  A stable sort over
+            # the reversed creation order replicates that (verified
+            # against the reference binary on the sim_0214 tie).
+            sorted_paths = sorted(new_paths[::-1],
+                                  key=lambda r: (r[0], r[1], r[8]))
             sources = []
             sources_added = np.zeros(KMER_COUNT, dtype=bool)
 

@@ -65,7 +65,11 @@ class RealtimeMapper:
         ch.number = chunk.number
         ch.read_id = getattr(chunk, "read_id", f"ch{c+1}_rd{chunk.number}")
         ch.start_sample = chunk.start
-        ch.dsp = ChannelDSP(self.conf)
+        ch.dsp = ChannelDSP(
+            self.conf,
+            tgt_mean=self.bm.model.means_mean,
+            tgt_stdv=self.bm.model.means_stdv,
+        )
         ch.n_chunks = 0
         ch.samples = 0
         ch.done_reported = False

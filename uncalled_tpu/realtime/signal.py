@@ -164,11 +164,20 @@ class ChannelDSP:
     norm: StreamNormalizer = None
     skipped: int = 0
 
+    # normalization targets; None = conf defaults.  The mapper passes
+    # the pore model's own mean/stdv (mapper.cpp:94 set_target(model...))
+    tgt_mean: float = None
+    tgt_stdv: float = None
+
     def __post_init__(self):
         ep = self.conf.event_profiler
         nm = self.conf.normalizer
         self.profiler = EventProfiler(ep.win_len, ep.win_stdv_min)
-        self.norm = StreamNormalizer(nm.len, nm.tgt_mean, nm.tgt_stdv)
+        self.norm = StreamNormalizer(
+            nm.len,
+            nm.tgt_mean if self.tgt_mean is None else self.tgt_mean,
+            nm.tgt_stdv if self.tgt_stdv is None else self.tgt_stdv,
+        )
 
     def process_chunk(self, chunk: np.ndarray) -> int:
         """Push one raw chunk; returns the number of events queued
