@@ -57,7 +57,8 @@ class BatchMapper:
 
     def __init__(self, fmi, model, threshes, conf: Conf | None = None,
                  emit_timing: bool = False, _rung: int = 0,
-                 _pool_tier: int = 0, engine=None, **over):
+                 _pool_tier: int = 0, engine=None, _B_entry: int = 0,
+                 **over):
         self.conf = conf or Conf()
         if engine is None:
             if self.conf.engine.pooled and _rung == 0:
@@ -83,6 +84,10 @@ class BatchMapper:
         # own overflow flags.
         self._rung = _rung
         self._pool_tier = _pool_tier
+        # entry batch size anchors the pooled-tier shrink (passed down
+        # explicitly: reconstructing it from the clamped per-tier B
+        # over-counts once the max(2, ...) clamp fires — ADVICE r3)
+        self._B_entry = _B_entry or self.eng.params.B
         self._dsp_pool = None
         self._next_mapper = None
         self._over = dict(over)
@@ -132,13 +137,13 @@ class BatchMapper:
                 # while still amortizing several concurrent stragglers.
                 # The entry batch size anchors the shrink so chained
                 # tiers don't collapse to B=2.
-                B0 = self.eng.params.B * (16 ** self._pool_tier)
-                Bw = max(2, B0 // (16 * (2 ** self._pool_tier)))
+                Bw = max(2, self._B_entry // (16 * (2 ** self._pool_tier)))
                 self._next_mapper = BatchMapper(
                     self.fmi, self.model, self.threshes, self.conf,
                     emit_timing=self.emit_timing,
                     _rung=max(len(en.remap_ladder) - 1, 0),
                     _pool_tier=self._pool_tier + 1,
+                    _B_entry=self._B_entry,
                     engine=PooledEngine(
                         self.fmi, self.model, self.threshes, self.conf,
                         B=Bw, S=Bw * slots, SC=Bw * slots + Bw * slots // 4,

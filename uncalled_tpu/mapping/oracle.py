@@ -37,6 +37,7 @@ import numpy as np
 from ..config import Conf
 from ..kmer import K, KMER_COUNT
 from ..ops.events import detect_events_np
+from .introsort import std_sort
 from .paf import Paf, Tag
 
 F32 = np.float32
@@ -368,15 +369,17 @@ class OracleMapper:
             new_paths = [child_state(*c) for c in cands]
 
             # ---- sort, dedup, and source creation (mapper.cpp:527-624) ----
-            # full-tie order matches the reference's pdqsort: its
-            # equal-element partition (partition_left) REVERSES runs of
-            # equal keys, so candidates with identical (start, end,
-            # seedprob) — poly-k-mer "stay twins" whose last-22 windows
-            # coincide — sort latest-created-first.  A stable sort over
-            # the reversed creation order replicates that (verified
-            # against the reference binary on the sim_0214 tie).
-            sorted_paths = sorted(new_paths[::-1],
-                                  key=lambda r: (r[0], r[1], r[8]))
+            # full-tie order must match the parity binary's UNSTABLE sort
+            # exactly: candidates with identical (start, end, seedprob) —
+            # poly-k-mer "stay twins" whose last-22 windows coincide — are
+            # deduped keeping the LAST, and the survivor's length/moves/
+            # consec history is observable downstream.  No per-element key
+            # models an unstable sort's tie permutation (round-3's global
+            # latest-first reversal fixed sim_0214 but broke five other
+            # reads), so run the actual algorithm: introsort.std_sort is a
+            # line-exact replica of the libstdc++ std::sort the rig links.
+            sorted_paths = std_sort(list(new_paths),
+                                    key=lambda r: (r[0], r[1], r[8]))
             sources = []
             sources_added = np.zeros(KMER_COUNT, dtype=bool)
 

@@ -1256,7 +1256,12 @@ def _pool_event_step(idx, p: PoolParams, st, ev, ev_on):
     # past ~128k slots it cannot fit alongside the pipeline buffers
     # (B=512's S=196608 measured 151 MB of 128).  Bigger pools take the
     # XLA formulation.
-    if p.stepkern and S <= 131072 and "gathers" not in _KNOCKOUT:
+    # S % 4: ring_assemble packs 4 slots per output row and asserts the
+    # divisibility at trace time — ill-shaped pools (user-configurable
+    # pool_wide/pool_max slot counts) must fall back to the XLA path
+    # instead of crashing (ADVICE r3)
+    if (p.stepkern and S <= 131072 and S % 4 == 0
+            and "gathers" not in _KNOCKOUT):
         # VMEM kernel: gather + slot-write + keep masking in one pass
         # (bit-exact to the XLA formulation below, tests/test_stepkern.py)
         from ..ops.stepkern import ring_assemble
