@@ -254,6 +254,43 @@ def test_cigar_query_to_refs_and_compare(tmp_path, example_index,
     assert summary["frac_within_100"] > 0.5
 
 
+def test_bc_aln_from_moves():
+    """Guppy move-table -> per-sample reference coords (debug.py:483-517
+    parse_bc_aln role): a synthetic move table round-trips through a
+    synthetic cigar to known reference positions."""
+    import numpy as np
+
+    from uncalled_tpu.debug import BCE_K, BCE_STRIDE, bc_aln_from_moves
+    from uncalled_tpu.pafstats import PafEntry
+
+    # 24 move slots; a move on every 3rd slot -> query coords 1..8
+    moves = np.zeros(24, np.uint8)
+    moves[::3] = 1
+    packed = np.packbits(moves)
+    # identity alignment: query q maps to ref offset q
+    p = PafEntry("q1\t100\t0\t100\t+\tref\t10000\t500\t600\t90\t100\t60\t"
+                 "cg:Z:100M")
+    out = bc_aln_from_moves(p, bce_samp_st=1000, bce_moves_packed=packed)
+    assert out is not None
+    samps, refs = out
+    # every slot emits one (sample, ref) pair; samples stride by 5
+    assert len(samps) == 24
+    assert samps[0] == 1000 and samps[1] == 1000 + BCE_STRIDE
+    # slot i has query coord 1 + i//3 -> ref offset the same, shifted
+    # to the k-mer start
+    want = 1 + np.arange(24) // 3 - BCE_K + 1
+    assert (refs == want).all()
+    # min_samp trims leading slots; max_samp truncates the table
+    s2, r2 = bc_aln_from_moves(p, 1000, packed, min_samp=1010)
+    assert s2[0] == 1010 and len(s2) == 22
+    s3, r3 = bc_aln_from_moves(p, 1000, packed, max_samp=1050)
+    assert len(s3) == int((1050 - 1000 + 1) // BCE_STRIDE)
+    # no cigar -> None
+    assert bc_aln_from_moves(
+        PafEntry("q1\t100\t0\t100\t+\tref\t10000\t500\t600\t90\t100\t60"),
+        1000, packed) is None
+
+
 def test_clientsim_pattern_files(tmp_path):
     """File-based pattern population (client_sim.cpp:44-208 formats)."""
     conf = Conf()

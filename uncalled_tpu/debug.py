@@ -243,6 +243,49 @@ def cigar_query_to_refs(paf_entry):
     return qr_rfs
 
 
+BCE_STRIDE = 5  # samples per basecalled-event move slot (ref debug.py:16)
+BCE_K = 4  # basecaller k-mer length (ref debug.py:17)
+
+
+def bc_aln_from_moves(bc_paf, bce_samp_st: int, bce_moves_packed,
+                      min_samp: int = 0, max_samp: int | None = None):
+    """Per-sample reference coordinates from a guppy MOVE TABLE — the
+    reference's basecalled-alignment debug layer (debug.py:483-517
+    parse_bc_aln): each move-table slot covers BCE_STRIDE raw samples;
+    the cumulative move count is the basecalled query coordinate, which
+    the minimap2 cigar (cigar_query_to_refs) places on the reference.
+    The result is the (sample -> reference position) series used to
+    adjudicate mapper-vs-basecaller disagreement visually.
+
+    ``bce_moves_packed`` is the packed-bit move table as stored by guppy
+    (np.uint8 array; np.unpackbits order, one bit per stride slot);
+    ``bce_samp_st`` the raw sample index of the first slot.  Returns
+    (samples[N] i64, refs[N] i64) with refs shifted to k-mer starts
+    (``- BCE_K + 1``, matching the reference), or None without a cigar.
+    """
+    qr_to_rfs = cigar_query_to_refs(bc_paf)
+    if not qr_to_rfs:
+        return None
+    moves = np.unpackbits(np.asarray(bce_moves_packed, np.uint8))
+    if max_samp is not None:
+        bce_en = int((max_samp - bce_samp_st + 1) // BCE_STRIDE)
+        moves = moves[:bce_en]
+    bce_qrs = np.cumsum(moves)
+    samps = bce_samp_st + BCE_STRIDE * np.arange(len(bce_qrs), dtype=np.int64)
+    out_s: list[int] = []
+    out_r: list[int] = []
+    for samp, qr in zip(samps, bce_qrs):
+        if samp < min_samp:
+            continue
+        for rf in qr_to_rfs.get(int(qr), ()):
+            out_s.append(int(samp))
+            out_r.append(int(rf))
+    return (
+        np.asarray(out_s, np.int64),
+        np.asarray(out_r, np.int64) - BCE_K + 1,
+    )
+
+
 def compare_seeds_to_basecall(parser: "DebugParser", bc_paf_path: str,
                               read_id: str, bp_per_evt: float = 0.45):
     """Score dumped seeds against a basecalled alignment (the reference

@@ -864,14 +864,14 @@ def _event_step(idx, p: EngineParams, st, ev, ev_on):
     k1 = jnp.where(cvalid, ns, INT32_MAX)
     k2 = jnp.where(cvalid, ne, INT32_MAX)
     iota_c = jax.lax.broadcasted_iota(i32, (B, CE), 1)
-    # 4th key = REVERSED creation index: full (start, end, prob) ties
-    # order latest-created-first, replicating the reference pdqsort's
-    # equal-element partition (see oracle.py sorted_paths)
-    rev_c = np.int32(CE - 1) - iota_c
-    k1s, k2s, k3s, revs = jax.lax.sort(
-        (k1, k2, seedprob, rev_c), dimension=1, num_keys=4
+    # 4th key = creation index: full (start, end, prob) ties keep
+    # creation order — the parity rig's pinned STABLE tie order (see
+    # oracle.py map_read's sort comment and golden_rig/pdqsort.h); the
+    # dedup then keeps the latest-created member of each tied run,
+    # matching std::stable_sort byte-for-byte
+    k1s, k2s, k3s, perm = jax.lax.sort(
+        (k1, k2, seedprob, iota_c), dimension=1, num_keys=4
     )
-    perm = np.int32(CE - 1) - revs
     svalid = k1s != INT32_MAX
     ns_s, ne_s = k1s, k2s
     seedprob_s = k3s

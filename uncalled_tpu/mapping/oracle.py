@@ -206,8 +206,12 @@ class OracleMapper:
     """Maps one full-signal read at a time (batch mode, no profiler)."""
 
     def __init__(self, fmi, model, prob_threshes: np.ndarray, conf: Conf = None,
-                 collect_stats: bool = False):
+                 collect_stats: bool = False, tie_order: str = "stable"):
         self.conf = conf or Conf()
+        # candidate-sort tie order: "stable" (creation order — the parity
+        # rig's pinned build, see the sort comment in map_read) or
+        # "introsort" (libstdc++ std::sort replica for unstable builds)
+        self.tie_order = tie_order
         self.fmi = fmi
         self.model = model
         self.threshes = prob_threshes.astype(np.float32)
@@ -369,17 +373,24 @@ class OracleMapper:
             new_paths = [child_state(*c) for c in cands]
 
             # ---- sort, dedup, and source creation (mapper.cpp:527-624) ----
-            # full-tie order must match the parity binary's UNSTABLE sort
-            # exactly: candidates with identical (start, end, seedprob) —
-            # poly-k-mer "stay twins" whose last-22 windows coincide — are
-            # deduped keeping the LAST, and the survivor's length/moves/
-            # consec history is observable downstream.  No per-element key
-            # models an unstable sort's tie permutation (round-3's global
-            # latest-first reversal fixed sim_0214 but broke five other
-            # reads), so run the actual algorithm: introsort.std_sort is a
-            # line-exact replica of the libstdc++ std::sort the rig links.
-            sorted_paths = std_sort(list(new_paths),
-                                    key=lambda r: (r[0], r[1], r[8]))
+            # full-tie order: candidates with identical (start, end,
+            # seedprob) — pervasive on real reads (38% of bench events) —
+            # are deduped keeping the LAST (mapper.cpp:568-571), and the
+            # survivor's length/moves/consec history is observable
+            # downstream.  The reference's own tie order is a BUILD
+            # artifact (its pdqsort submodule is empty; any build
+            # substitutes a sort — tools/golden_rig/pdqsort.h), so the
+            # parity rig pins the STABLE refinement (creation order),
+            # which the batched engine replicates with a creation-index
+            # tie key.  tie_order="introsort" instead replicates a
+            # libstdc++ std::sort build's data-dependent tie permutation
+            # line for line (introsort.py; tests/test_tie_parity.py).
+            if self.tie_order == "introsort":
+                sorted_paths = std_sort(list(new_paths),
+                                        key=lambda r: (r[0], r[1], r[8]))
+            else:
+                sorted_paths = sorted(new_paths,
+                                      key=lambda r: (r[0], r[1], r[8]))
             sources = []
             sources_added = np.zeros(KMER_COUNT, dtype=bool)
 

@@ -805,21 +805,18 @@ def _pool_event_step(idx, p: PoolParams, st, ev, ev_on):
     if "sort" in _KNOCKOUT:
         rks, k1s, k2s, k3s, perm = rid_key, k1, k2, seedprob, iota_c
     elif p.sort_mode == "bitonic":
-        # final key = REVERSED creation index: full (rid, start, end,
-        # prob) ties order latest-created-first, replicating the
-        # reference pdqsort's equal-element partition (see oracle.py)
-        rev_c = np.int32(SC - 1) - iota_c
-        rks, k1s, k2s, k3i, revs = _sort1d_bitonic(
-            (rid_key, k1, k2, _f32_sort_key(seedprob), rev_c)
+        # final key = creation index: full (rid, start, end, prob) ties
+        # keep creation order — the parity rig's pinned STABLE tie order
+        # (see oracle.py map_read's sort comment); dedup keeps the run's
+        # latest-created member, matching std::stable_sort byte-for-byte
+        rks, k1s, k2s, k3i, perm = _sort1d_bitonic(
+            (rid_key, k1, k2, _f32_sort_key(seedprob), iota_c)
         )
         k3s = _f32_from_sort_key(k3i)
-        perm = np.int32(SC - 1) - revs
     else:
-        rev_c = np.int32(SC - 1) - iota_c
-        rks, k1s, k2s, k3s, revs = _sort1d(
-            (rid_key, k1, k2, seedprob, rev_c), (), num_keys=5
+        rks, k1s, k2s, k3s, perm = _sort1d(
+            (rid_key, k1, k2, seedprob, iota_c), (), num_keys=5
         )
-        perm = np.int32(SC - 1) - revs
     svalid = rks < B
     ns_s, ne_s, seedprob_s = k1s, k2s, k3s
     rid_s = jnp.minimum(rks, np.int32(B - 1))
