@@ -332,7 +332,7 @@ def main():
     dmstats = {}
     if bm.demand:
         dmv = np.array(list(bm.demand.values()))  # [n, 4]
-        for i, k in enumerate(("flags", "valid", "paths", "rows")):
+        for i, k in enumerate(("flags", "valid", "paths", "rows", "clusters")[: dmv.shape[1]]):
             dmstats[k] = [
                 int(np.percentile(dmv[:, i], 50)),
                 int(np.percentile(dmv[:, i], 99)),

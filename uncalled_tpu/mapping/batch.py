@@ -133,11 +133,16 @@ class BatchMapper:
             ):
                 slots, CLw = tiers[self._pool_tier]
                 # ejects are a few reads per batch; a narrow slot array
-                # keeps the tier's per-event cost (~prop. to S) low
-                # while still amortizing several concurrent stragglers.
-                # The entry batch size anchors the shrink so chained
-                # tiers don't collapse to B=2.
-                Bw = max(2, self._B_entry // (16 * (2 ** self._pool_tier)))
+                # keeps the tier's per-event cost (~prop. to S) low.
+                # Per SLOT-event the cost is ~flat in B (slots/read is
+                # fixed, so S scales with B) — the only lever is PADDING:
+                # BENCH_r04 measured 4 CL-evicted monsters burning 20.7 s
+                # (53%% of wall) in a B=16 tier at 25%% occupancy.  B=4
+                # runs the typical eject count at ~full occupancy; bigger
+                # eject waves just run more (cheaper) waves at the same
+                # total slot-event cost.  The entry batch size anchors
+                # the shrink so chained tiers don't collapse to B=2.
+                Bw = max(2, self._B_entry // (64 * (2 ** self._pool_tier)))
                 self._next_mapper = BatchMapper(
                     self.fmi, self.model, self.threshes, self.conf,
                     emit_timing=self.emit_timing,
@@ -199,7 +204,7 @@ class BatchMapper:
             return True
         P, _, R, CL, CE = ladder[rung_i]
         CE = CE if CE else P + max(P // 4, 256)
-        fl, va, pa, rw = dm
+        fl, va, pa, rw = dm[:4]
         if fl > CE or va > P or pa > P or rw > R:
             return False
         # a cluster-table eviction (bit 1) gives no demand lower bound;
@@ -503,6 +508,7 @@ class BatchMapper:
                         self.demand[s.read.id] = dm = (
                             int(ro["dm_flags"][b]), int(ro["dm_valid"][b]),
                             int(ro["dm_paths"][b]), int(ro["dm_rows"][b]),
+                            int(ro["dm_cl"][b]),
                         )
                         overflowed.append((s.read, int(ro["ovf_why"][b]), dm))
                         slots[b] = None
@@ -513,6 +519,7 @@ class BatchMapper:
                         self.demand[s.read.id] = (
                             int(ro["dm_flags"][b]), int(ro["dm_valid"][b]),
                             int(ro["dm_paths"][b]), int(ro["dm_rows"][b]),
+                            int(ro["dm_cl"][b]),
                         )
                         yield self._finalize(s, ro, b)
                         slots[b] = None

@@ -211,6 +211,9 @@ def make_state(p: EngineParams):
         "dm_valid": z(B),
         "dm_paths": z(B),
         "dm_rows": z(B),
+        # sticky max live clusters (CL sizing evidence; n_cl saturates at
+        # CL, so this is a lower bound once a CL eviction happened)
+        "dm_cl": z(B),
     }
 
 
@@ -1134,6 +1137,7 @@ def _event_step(idx, p: EngineParams, st, ev, ev_on):
     out["dm_valid"] = upd(st["dm_valid"], total_valid_fm)
     out["dm_paths"] = upd(st["dm_paths"], n_cands + n_src)
     out["dm_rows"] = upd(st["dm_rows"], total_rows)
+    out["dm_cl"] = jnp.maximum(st["dm_cl"], jnp.where(alive, out["n_cl"], np.int32(0)))
 
     dec = _tracker_decide(p, out) & alive
     out["done"] = st["done"] | dec
@@ -1286,7 +1290,7 @@ class MapEngine:
 
     READOUT_KEYS = (
         "done", "success", "dec_evt", "evt_i", "ovf", "ovf_why",
-        "dm_flags", "dm_valid", "dm_paths", "dm_rows",
+        "dm_flags", "dm_valid", "dm_paths", "dm_rows", "dm_cl",
         "mm_len", "mm_ref_st", "mm_r1", "mm_r2e", "mm_evt_st", "mm_evt_en",
     )
 

@@ -184,6 +184,7 @@ def make_pool_state(p: PoolParams):
         "dm_valid": z(B),
         "dm_paths": z(B),
         "dm_rows": z(B),
+        "dm_cl": z(B),  # sticky max live clusters (see engine.py)
     }
 
 
@@ -1322,6 +1323,7 @@ def _pool_event_step(idx, p: PoolParams, st, ev, ev_on):
     out["dm_valid"] = upd(st["dm_valid"], n_valid_r)
     out["dm_paths"] = upd(st["dm_paths"], want_r)
     out["dm_rows"] = upd(st["dm_rows"], want_rows_r)
+    out["dm_cl"] = jnp.maximum(st["dm_cl"], jnp.where(alive, out["n_cl"], np.int32(0)))
 
     dec = _tracker_decide(p, out) & alive
     out["done"] = st["done"] | dec
