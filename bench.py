@@ -321,12 +321,24 @@ def main():
     # per-rung ejection counts (rung i's ovf_why dict records its ejects)
     rungs = []
     why_hist: dict = {}
+    util = {}
+
+    def _walk_util(m, tag):
+        if m is None:
+            return
+        if m.disp_events:
+            util[tag] = round(m.useful_events / m.disp_events, 3)
+        _walk_util(m._drain_mapper, tag + ">drain")
+
     m = bm
+    ri = 0
     while m is not None:
         rungs.append(len(m.ovf_why))
         for w in m.ovf_why.values():
             why_hist[w] = why_hist.get(w, 0) + 1
+        _walk_util(m, f"rung{ri}")
         m = m._next_mapper
+        ri += 1
     # per-read demand maxima (flags/valid/paths/rows) from the entry
     # rung: distribution tails size the pools
     dmstats = {}
@@ -447,6 +459,7 @@ def main():
                     # ovf bitmask histogram: 1=CL evict, 2=cand pool,
                     # 4=full-source cap, 8=path pool, 16=row caps
                     "eject_why": {str(k): v for k, v in why_hist.items()},
+                    "slot_utilization": util,
                     "mapper_blocks": {
                         k: [v[0], round(v[1], 1)]
                         for k, v in tele.items()

@@ -129,3 +129,39 @@ def test_native_detector_bitexact(golden_reads):
         assert np.array_equal(a["stdv"], b["stdv"])
         assert a["total_events"] == b["total_events"]
         assert np.float32(a["len_sum"]) == np.float32(b["len_sum"])
+
+
+def test_detector_calibration_hook():
+    """Mid-stream calibration (event_detector.cpp:155-162 set_calibration):
+    event means/stdvs become (v + offset) * range/digitisation in f32
+    BEFORE the min/max mean filter (create_event calibrates both fields,
+    event_detector.cpp:308-309; the filter at :107-108 sees calibrated
+    means).  np oracle and native path must agree."""
+    import numpy as np
+
+    from uncalled_tpu import native
+    from uncalled_tpu.ops.events import detect_events_np
+
+    rng = np.random.default_rng(5)
+    # integer-ish raw signal (uncalibrated DAC counts)
+    sig = (rng.normal(450, 40, 6000).astype(np.float32)).round()
+    cal = (10.0, 1300.0, 8192.0)  # offset, range, digitisation
+    coef = np.float32(cal[1]) / np.float32(cal[2])
+
+    raw = detect_events_np(sig, -1e38, 1e38)
+    cald = detect_events_np(sig, 30.0, 73.0, calibration=cal)
+    # calibrated means = (raw + off) * coef, filtered on the CALIBRATED value
+    want_mean = ((raw["mean"] + np.float32(cal[0])) * coef).astype(np.float32)
+    want_stdv = ((raw["stdv"] + np.float32(cal[0])) * coef).astype(np.float32)
+    keep = (want_mean >= np.float32(30.0)) & (want_mean <= np.float32(73.0))
+    assert keep.any() and not keep.all()  # the filter actually bites
+    assert np.array_equal(cald["mean"], want_mean[keep])
+    assert np.array_equal(cald["stdv"], want_stdv[keep])
+    assert cald["total_events"] == raw["total_events"]  # counts pre-filter
+
+    nat = native.detect_events(sig, 30.0, 73.0, calibration=cal)
+    if nat is not None:
+        assert np.array_equal(nat["mean"], cald["mean"])
+        assert np.array_equal(nat["stdv"], cald["stdv"])
+        assert np.array_equal(nat["start"], cald["start"])
+        assert nat["total_events"] == cald["total_events"]

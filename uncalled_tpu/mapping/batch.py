@@ -99,6 +99,11 @@ class BatchMapper:
         # per-read demand maxima (flags, valid, paths, rows) at harvest;
         # lower bounds for overflowed reads, exact otherwise
         self.demand: dict = {}
+        # slot-event accounting: dispatched = B*T per advance (the device
+        # always runs the full arrays), useful = per-read evt_i at
+        # harvest — their ratio is the measured slot utilization
+        self.disp_events = 0
+        self.useful_events = 0
 
     def _pool_tiers(self):
         """Enabled pooled eject tiers, as a truthy PREFIX of
@@ -489,6 +494,7 @@ class BatchMapper:
                     s.fed += len(nxt)
                     snap.append((b, s, s.fed))
                 state = self.eng.advance(state, means, on)
+                self.disp_events += B * T
                 new_pend = (self.eng.readout_start(state), snap)
             else:
                 new_pend = None
@@ -511,6 +517,7 @@ class BatchMapper:
                             int(ro["dm_cl"][b]),
                         )
                         overflowed.append((s.read, int(ro["ovf_why"][b]), dm))
+                        self.useful_events += int(ro["evt_i"][b])
                         slots[b] = None
                         pending -= 1
                     elif ro["done"][b] or exhausted:
@@ -521,6 +528,7 @@ class BatchMapper:
                             int(ro["dm_paths"][b]), int(ro["dm_rows"][b]),
                             int(ro["dm_cl"][b]),
                         )
+                        self.useful_events += int(ro["evt_i"][b])
                         yield self._finalize(s, ro, b)
                         slots[b] = None
                         pending -= 1

@@ -107,14 +107,38 @@ def bwt_from_sa(text: np.ndarray, sa: np.ndarray) -> tuple[np.ndarray, int] | No
     return bwt, int(primary)
 
 
-def detect_events(signal: np.ndarray, min_mean: float, max_mean: float):
+def detect_events(signal: np.ndarray, min_mean: float, max_mean: float,
+                  calibration=None):
     """Native event detection; None if the library is unavailable.
 
     Returns the same dict as uncalled_tpu.ops.events.detect_events_np
-    (numerically identical; golden-tested against it)."""
+    (numerically identical; golden-tested against it).
+
+    ``calibration=(offset, range, digitisation)``: the native detector
+    creates events unfiltered (wide-open bounds) and the calibration +
+    min/max mean filter run here in f32, matching the reference's order
+    (calibrate inside create_event, THEN the mean filter —
+    event_detector.cpp:107-108, 155-162, 308-309)."""
     lib = _load()
     if lib is None:
         return None
+    if calibration is not None:
+        ev = detect_events(signal, -3.4e38, 3.4e38)
+        if ev is None:
+            return None
+        cal_off = np.float32(calibration[0])
+        cal_coef = np.float32(calibration[1]) / np.float32(calibration[2])
+        mean = ((ev["mean"] + cal_off) * cal_coef).astype(np.float32)
+        stdv = ((ev["stdv"] + cal_off) * cal_coef).astype(np.float32)
+        keep = (mean >= np.float32(min_mean)) & (mean <= np.float32(max_mean))
+        return {
+            "start": ev["start"][keep],
+            "length": ev["length"][keep],
+            "mean": mean[keep],
+            "stdv": stdv[keep],
+            "total_events": ev["total_events"],
+            "len_sum": ev["len_sum"],
+        }
     sig = np.ascontiguousarray(signal, dtype=np.float32)
     n = len(sig)
     start = np.empty(n, dtype=np.int32)

@@ -126,10 +126,19 @@ def detect_events_np(
     signal: np.ndarray,
     min_mean: float = MIN_MEAN,
     max_mean: float = MAX_MEAN,
+    calibration=None,
 ):
     """Sequential oracle. Returns dict with arrays start, length, mean, stdv
     (events passing the mean filter) plus total_events / len_sum over all
-    created events (for mean_event_len parity)."""
+    created events (for mean_event_len parity).
+
+    ``calibration=(offset, range, digitisation)`` applies the reference's
+    mid-stream calibration hook (event_detector.cpp:155-162): every
+    created event's mean AND stdv become (v + offset) * range/digitisation
+    in f32 (the stdv offset included — create_event calibrates both,
+    event_detector.cpp:308-309) BEFORE the min/max mean filter
+    (event_detector.cpp:107-108 checks the calibrated mean).  Use when a
+    data source delivers uncalibrated integer samples."""
     xf = signal.astype(np.float32)
     x = xf.astype(np.float64)
     n = len(x)
@@ -171,6 +180,9 @@ def detect_events_np(
                 return True
         return False
 
+    if calibration is not None:
+        cal_off = np.float32(calibration[0])
+        cal_coef = np.float32(calibration[1]) / np.float32(calibration[2])
     starts, lengths, means, stdvs = [], [], [], []
     evt_st = 0
     total_events = 0
@@ -187,6 +199,9 @@ def detect_events_np(
             deltasqr = np.float32(SQ[evt_en] - SQ[evt_st])
             var = np.float32(deltasqr / length - mean * mean)
             stdv = np.float32(np.sqrt(max(var, np.float32(0.0))))
+            if calibration is not None:
+                mean = np.float32((mean + cal_off) * cal_coef)
+                stdv = np.float32((stdv + cal_off) * cal_coef)
             total_events += 1
             len_sum += float(length)
             if min_mean <= mean <= max_mean:

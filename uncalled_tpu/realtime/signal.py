@@ -168,6 +168,10 @@ class ChannelDSP:
     # the pore model's own mean/stdv (mapper.cpp:94 set_target(model...))
     tgt_mean: float = None
     tgt_stdv: float = None
+    # (offset, range, digitisation) mid-stream calibration for data
+    # sources delivering uncalibrated ints (EventDetector::set_calibration,
+    # event_detector.cpp:155-162); None = already-calibrated pA floats
+    calibration: tuple = None
 
     def __post_init__(self):
         ep = self.conf.event_profiler
@@ -189,9 +193,11 @@ class ChannelDSP:
         if len(self.signal) > 1:
             self.signal = [full]
         ed = self.conf.event_detector
-        ev = native.detect_events(full, ed.min_mean, ed.max_mean)
+        ev = native.detect_events(full, ed.min_mean, ed.max_mean,
+                                  calibration=self.calibration)
         if ev is None:
-            ev = detect_events_np(full, ed.min_mean, ed.max_mean)
+            ev = detect_events_np(full, ed.min_mean, ed.max_mean,
+                                  calibration=self.calibration)
         new_means = ev["mean"][self.n_detected :]
         self.n_detected = len(ev["mean"])
 
