@@ -237,7 +237,12 @@ def main():
             e = tele.setdefault(tag, [0, 0.0])
             e[0] += 1
             e[1] += time.time() - t0_
-            blocks_log.append([round(time.time() - t0_, 2), None])
+            # [dispatch_s, ro_wait_s, active slot-events] per block: the
+            # third number exposes per-block occupancy (refill gaps,
+            # drain handoff timing) under BENCH_VERBOSE
+            blocks_log.append(
+                [round(time.time() - t0_, 2), None, int(on_.sum())]
+            )
             return s
 
         def rog(packed):
@@ -330,12 +335,26 @@ def main():
             util[tag] = round(m.useful_events / m.disp_events, 3)
         _walk_util(m._drain_mapper, tag + ">drain")
 
+    eject_ids = []
+
+    def _count_ejects(m):
+        """A mapper's ejects INCLUDING its drain chain's (drain mappers
+        route ejected reads up via ovf_sink but record ovf_why on
+        themselves — BENCH_r04 undercounted the tier load 4x by walking
+        only the _next_mapper chain)."""
+        n = 0
+        while m is not None:
+            n += len(m.ovf_why)
+            for rid, w in m.ovf_why.items():
+                why_hist[w] = why_hist.get(w, 0) + 1
+                eject_ids.append(rid)
+            m = m._drain_mapper
+        return n
+
     m = bm
     ri = 0
     while m is not None:
-        rungs.append(len(m.ovf_why))
-        for w in m.ovf_why.values():
-            why_hist[w] = why_hist.get(w, 0) + 1
+        rungs.append(_count_ejects(m))
         _walk_util(m, f"rung{ri}")
         m = m._next_mapper
         ri += 1
@@ -460,6 +479,7 @@ def main():
                     # 4=full-source cap, 8=path pool, 16=row caps
                     "eject_why": {str(k): v for k, v in why_hist.items()},
                     "slot_utilization": util,
+                    "eject_ids": eject_ids[:24],
                     "mapper_blocks": {
                         k: [v[0], round(v[1], 1)]
                         for k, v in tele.items()

@@ -154,6 +154,45 @@ def pafstats_cmd(args):
     )
 
 
+def dtw_cmd(args):
+    """Ground-truth DTW scoring of reads against known reference regions
+    (the reference's dtw_test binary, dtw_test.cpp:62-179): for each read
+    with a truth alignment in --paf, events -> mask -> normalize -> DTW
+    vs the region's k-mers; prints `read_id  mean_score  ms` and
+    optionally dumps the per-read path (--out-prefix, print_path role)."""
+    from .index.fmindex import load_index
+    from .io.fast5 import iter_reads
+    from .ops.dtw import align_read
+    from .pafstats import parse_paf
+
+    conf = _load_conf(args)
+    fmi = load_index(args.bwa_prefix)
+    truth = {}
+    for p in parse_paf(args.paf):
+        if p.is_mapped and p.qr_name not in truth:
+            truth[p.qr_name] = p
+    reads = iter_reads(args.fast5s, recursive=args.recursive,
+                       max_reads=args.max_reads)
+    for read in reads:
+        t = truth.get(read.id)
+        if t is None:
+            continue
+        sig = read.signal
+        if len(sig) > 50000 * 10:  # dtw_test.cpp:155 skip, scaled to raw
+            print(f"Skipping {read.id}", file=sys.stderr)
+            continue
+        t0 = time.time()
+        aln, _ = align_read(
+            sig, fmi, t.rf_name, t.rf_st, t.rf_en, t.is_fwd, conf
+        )
+        dt = (time.time() - t0) * 1000
+        if args.out_prefix:
+            with open(f"{args.out_prefix}{read.id}.txt", "w") as f:
+                for qr, rf in aln.get_path():
+                    f.write(f"{qr}\t{rf}\n")
+        print(f"{read.id}\t{aln.mean_score():.4f}\t{dt:.0f}")
+
+
 def sim_cmd(args):
     from .realtime.sim import run_sim
 
@@ -254,6 +293,20 @@ def main(argv=None):
     p.add_argument("-n", "--max-reads", type=int, default=None)
     p.add_argument("-a", "--annotate", action="store_true")
     p.set_defaults(fn=pafstats_cmd)
+
+    p = sub.add_parser(
+        "dtw", help="ground-truth DTW scoring (reference dtw_test binary)"
+    )
+    p.add_argument("bwa_prefix")
+    p.add_argument("fast5s", nargs="+")
+    p.add_argument("--paf", required=True,
+                   help="truth alignments (e.g. minimap2 PAF)")
+    p.add_argument("--out-prefix", default="",
+                   help="dump per-read DTW paths to <prefix><read_id>.txt")
+    p.add_argument("-r", "--recursive", action="store_true")
+    p.add_argument("--max-reads", type=int, default=0)
+    _add_conf_args(p)
+    p.set_defaults(fn=dtw_cmd)
 
     p = sub.add_parser("sim", help="simulated ReadUntil run (device simulator)")
     p.add_argument("bwa_prefix")

@@ -147,7 +147,21 @@ class BatchMapper:
                 # eject waves just run more (cheaper) waves at the same
                 # total slot-event cost.  The entry batch size anchors
                 # the shrink so chained tiers don't collapse to B=2.
-                Bw = max(2, self._B_entry // (64 * (2 ** self._pool_tier)))
+                # Tier sizing (BENCH_r04 runs 1-3): the eject load is
+                # ~12-16 reads per 1024 (rung0's 4 CL evicts PLUS the
+                # drain chain's — drains eject monsters too), and the
+                # tier's per-event cost is dominated by the S/SC-sized
+                # stages, which AMORTIZE over more slots: B=16 ran the
+                # load in one wave (20.7 s); B=4 took ~4 waves at the
+                # same per-wave cost (30 s).  Keep B = B_entry/16.
+                Bw = max(2, self._B_entry // (16 * (2 ** self._pool_tier)))
+                # SC: Bw*slots*5/4 measured clean at B=16 (run 1), but a
+                # SMALL tier's SC must floor at the monsters' per-EVENT
+                # flag demand (max 7822/read; run 2's B=4-scaled SC=7680
+                # cut 7 reads onto the B=2 max tier for 24.3 s); 5*S is
+                # the structural cap (<=5 flags per slot).
+                SCw = min(5 * Bw * slots,
+                          max(Bw * slots + Bw * slots // 4, 32768))
                 self._next_mapper = BatchMapper(
                     self.fmi, self.model, self.threshes, self.conf,
                     emit_timing=self.emit_timing,
@@ -156,10 +170,14 @@ class BatchMapper:
                     _B_entry=self._B_entry,
                     engine=PooledEngine(
                         self.fmi, self.model, self.threshes, self.conf,
-                        B=Bw, S=Bw * slots, SC=Bw * slots + Bw * slots // 4,
+                        B=Bw, S=Bw * slots, SC=SCw,
                         CL=CLw, R=1024, FS=512, RE=2048, RT=8192,
                     ),
                 )
+                # tiers run a handful of monster reads for thousands of
+                # events: double the event block to halve the per-block
+                # dispatch/readout round trips (same trade the drain makes)
+                self._next_mapper.T = min(2 * self.T, 128)
                 return self._next_mapper
             P, B, R, CL, CE = en.remap_ladder[self._rung]
             self._next_mapper = BatchMapper(
