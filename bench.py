@@ -113,11 +113,29 @@ def main():
 
     # the remote TPU pool occasionally refuses/hangs backend init for a
     # while (observed ~25 min hang then UNAVAILABLE); retry before
-    # giving the whole bench up
+    # giving the whole bench up.  A HANG never throws, so a watchdog
+    # hard-exits with an UNAVAILABLE-tagged message that the parent's
+    # transient-signature retry recognizes (fresh process, fresh tunnel).
+    import threading
+
+    _init_ok = threading.Event()
+
+    def _init_watchdog():
+        if not _init_ok.wait(float(os.environ.get("BENCH_INIT_TIMEOUT",
+                                                  "420"))):
+            sys.stderr.write(
+                "backend init watchdog fired: treating hung tunnel as "
+                "UNAVAILABLE\n"
+            )
+            sys.stderr.flush()
+            os._exit(86)
+
+    threading.Thread(target=_init_watchdog, daemon=True).start()
     for attempt in range(3):
         try:
             devs = jax.devices()
             sys.stderr.write(f"devices: {devs}\n")
+            _init_ok.set()
             break
         except RuntimeError as e:
             sys.stderr.write(f"backend init attempt {attempt + 1}: {e}\n")
@@ -328,11 +346,21 @@ def main():
     why_hist: dict = {}
     util = {}
 
+    pool_hw = {}
+
     def _walk_util(m, tag):
         if m is None:
             return
         if m.disp_events:
             util[tag] = round(m.useful_events / m.disp_events, 3)
+        if m.pool_hw.any():
+            # [flags(vs SC), valid, keep(vs S), entries(vs RE),
+            #  rows(vs RT)] pool-global WANT maxima + the pool's capacity
+            p = m.eng.params
+            pool_hw[tag] = {
+                "hw": [int(x) for x in m.pool_hw],
+                "cap": [p.SC, p.SC, p.S, p.RE, p.RT],
+            }
         _walk_util(m._drain_mapper, tag + ">drain")
 
     eject_ids = []
@@ -479,6 +507,7 @@ def main():
                     # 4=full-source cap, 8=path pool, 16=row caps
                     "eject_why": {str(k): v for k, v in why_hist.items()},
                     "slot_utilization": util,
+                    "pool_hw": pool_hw,
                     "eject_ids": eject_ids[:24],
                     "mapper_blocks": {
                         k: [v[0], round(v[1], 1)]

@@ -104,6 +104,10 @@ class BatchMapper:
         # harvest — their ratio is the measured slot utilization
         self.disp_events = 0
         self.useful_events = 0
+        # pool-global demand high-water (pooled engines only): max over
+        # all events of [flags, valid, keep, entries, rows] WANT totals —
+        # the sizing evidence for SC/S/RE/RT (state["dm_pool"])
+        self.pool_hw = np.zeros(5, np.int64)
 
     def _pool_tiers(self):
         """Enabled pooled eject tiers, as a truthy PREFIX of
@@ -393,12 +397,22 @@ class BatchMapper:
             return None
         import jax
 
+        self._absorb_hw(state)
         n_paths = np.asarray(jax.device_get(state["n_paths"]))
         if int(n_paths[keep].sum()) > pd.S:
             return "nofit"  # caller may wait for fewer stragglers
         sel = np.full(pd.B, -1, np.int32)
         sel[: len(keep)] = keep
         return self.eng.migrate(state, sel, dm.eng)
+
+    def _absorb_hw(self, state):
+        """Fold the device's pool-global demand high-water into the
+        host-side record (called once per run end / pre-migration)."""
+        if isinstance(state, dict) and "dm_pool" in state:
+            import jax
+
+            hw = np.asarray(jax.device_get(state["dm_pool"]))
+            np.maximum(self.pool_hw, hw, out=self.pool_hw)
 
     def _run(self, it, slots, state, pending, input_done, ovf_sink):
         """Core slot loop.  ``ovf_sink`` non-None routes budget ejects to
@@ -555,6 +569,7 @@ class BatchMapper:
                 state = refill(state)
             pend = new_pend
 
+        self._absorb_hw(state)
         if drain_cont is not None:
             dm, dslots, mig, dn = drain_cont
             yield from dm._run(iter(()), dslots, mig, dn, True, overflowed)

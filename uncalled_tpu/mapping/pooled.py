@@ -185,6 +185,11 @@ def make_pool_state(p: PoolParams):
         "dm_paths": z(B),
         "dm_rows": z(B),
         "dm_cl": z(B),  # sticky max live clusters (see engine.py)
+        # POOL-GLOBAL demand high-water (uncut WANT totals), the sizing
+        # evidence for S/SC/RE/RT: [flags(vs SC), valid, keep(vs S),
+        # entries(vs RE), rows(vs RT)].  Per-read dm_* maxima cannot
+        # size the shared pools (transient per-read peaks amortize).
+        "dm_pool": z(5),
     }
 
 
@@ -197,6 +202,9 @@ def reset_pool_rows(state, mask):
     fresh = None
     out = {}
     for k, v in state.items():
+        if k == "dm_pool":  # pool-global, survives per-read resets
+            out[k] = v
+            continue
         if k.startswith("q_"):
             rid = jnp.minimum(state["q_rid"], B - 1)
             hit = mask[rid] & (state["q_rid"] < B)
@@ -1324,6 +1332,19 @@ def _pool_event_step(idx, p: PoolParams, st, ev, ev_on):
     out["dm_paths"] = upd(st["dm_paths"], want_r)
     out["dm_rows"] = upd(st["dm_rows"], want_rows_r)
     out["dm_cl"] = jnp.maximum(st["dm_cl"], jnp.where(alive, out["n_cl"], np.int32(0)))
+    if "shard_axis" in idx:
+        # under shard_map the [5] telemetry vector is replicated while
+        # per-shard maxima vary — pass through inert (pool sizing is
+        # measured on the single-process bench)
+        out["dm_pool"] = st["dm_pool"]
+    else:
+        out["dm_pool"] = jnp.maximum(
+            st["dm_pool"],
+            jnp.stack(
+                [total_flags, ccum2_pad[-1] + cvalid[-1], total_keep,
+                 n_ent, rw_b[-1]]
+            ),
+        )
 
     dec = _tracker_decide(p, out) & alive
     out["done"] = st["done"] | dec
@@ -1356,6 +1377,11 @@ def migrate_pool_state(src_p: PoolParams, dst_p: PoolParams, state, sel):
     out = {}
     for k, v in state.items():
         if k.startswith("q_"):
+            continue
+        if k == "dm_pool":
+            # destination pool is a different size: it records its own
+            # high-water (the source's is absorbed host-side pre-migrate)
+            out[k] = fresh[k]
             continue
         g = jnp.take(v, selc, axis=0)
         w = valid

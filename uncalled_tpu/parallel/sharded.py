@@ -240,13 +240,18 @@ class ShardedPooledEngine(PooledEngine):
 
         def raw(state, means, on, tables):
             idx = dict(tables, **meta, shard_axis=idx_axis)
+            # dm_pool rides replicated/inert under shard_map (the step
+            # passes it through when shard_axis is set — per-shard maxima
+            # vary and cannot be a replicated carry)
             return pool_advance_block(idx, p_local, state, means, on)
 
         st_shape = make_pool_state(p)
-        st_specs = jax.tree.map(lambda _: P(dp_axis), st_shape)
-        self._state_sharding = jax.tree.map(
-            lambda _: NamedSharding(mesh, P(dp_axis)), st_shape
-        )
+        st_specs = {
+            k: P(None) if k == "dm_pool" else P(dp_axis) for k in st_shape
+        }
+        self._state_sharding = {
+            k: NamedSharding(mesh, s) for k, s in st_specs.items()
+        }
         self._advance = jax.jit(
             shard_map(
                 raw,
