@@ -386,8 +386,25 @@ def main():
         _walk_util(m, f"rung{ri}")
         m = m._next_mapper
         ri += 1
-    # per-read demand maxima (flags/valid/paths/rows) from the entry
-    # rung: distribution tails size the pools
+    # per-read demand maxima (flags/valid/paths/rows): merged across ALL
+    # mappers by elementwise max — the entry rung CAPS cluster demand at
+    # its CL (the bench's "clusters max 2048" was the cap, not the
+    # demand); the tier's CL=16384 table sees the monsters' true counts
+    def _merge_demand(m):
+        while m is not None:
+            for rid, dm_ in m.demand.items():
+                old = bm.demand.get(rid)
+                bm.demand[rid] = (
+                    dm_ if old is None
+                    else tuple(max(a, b) for a, b in zip(old, dm_))
+                )
+            for d2 in ([m._drain_mapper] if m._drain_mapper else []):
+                _merge_demand(d2)
+            m = m._next_mapper
+
+    _merge_demand(bm._next_mapper)
+    for d2 in ([bm._drain_mapper] if bm._drain_mapper else []):
+        _merge_demand(d2)
     dmstats = {}
     if bm.demand:
         dmv = np.array(list(bm.demand.values()))  # [n, 4]

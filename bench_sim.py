@@ -90,10 +90,27 @@ def main():
         fmi := load_index(prefix), load_default(),
         load_uncl(prefix + ".uncl"), conf,
     )
-    # warm the advance/readout programs before the clock starts
+    # warm the ADVANCE path too (an idle update never compiles it — the
+    # first run measured its ~128 s remote compile INSIDE the timed
+    # window, mt p90 ~= compile wall): feed one synthetic chunk so
+    # update() takes the active branch, then reset the channel
+    from uncalled_tpu.realtime.mapper import _Channel
+
+    class _WarmChunk:
+        number, start, read_id = 0, 0, "warmup"
+        signal = np.random.RandomState(0).normal(
+            90.0, 10.0, 4000
+        ).astype(np.float32)
+
+    rt.add_chunks([(1, _WarmChunk())], 0.0)
     rt.update(0.0)
     import jax as _j
 
+    _j.block_until_ready(rt.state["evt_i"])
+    rt.channels[0] = _Channel()
+    mask0 = np.zeros(N_CH, bool)
+    mask0[0] = True
+    rt.state = rt.eng.reset_slots(rt.state, mask0)
     _j.block_until_ready(rt.state["evt_i"])
     compile_s = time.time() - t0
 

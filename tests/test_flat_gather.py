@@ -123,3 +123,41 @@ def test_flat_gather_fields_multidim_idx():
     for f, c in enumerate(cols):
         assert c.shape == idx.shape
         assert np.array_equal(np.asarray(c), tbl[idx, f])
+
+
+def test_take_fields_rowpack_bitexact():
+    """The P-rows-per-128-lane packed row gather (the TPU relayout-tax
+    fix) is bit-exact vs the naive [N, F] take for every field width,
+    including non-P-multiple N (zero row padding) and clamped indices."""
+    import jax.numpy as jnp
+
+    from uncalled_tpu.ops import flat_gather as FG
+
+    rng = np.random.default_rng(11)
+    for F in (1, 2, 3, 4, 8, 10, 15, 33, 64):
+        N = int(rng.integers(900, 1100))
+        tbl = rng.integers(-(2**31), 2**31, (N, F), dtype=np.int64).astype(
+            np.int32
+        )
+        idx = rng.integers(0, N, (4096,)).astype(np.int32)
+        ix = jnp.clip(jnp.asarray(idx), 0, N - 1)
+        cols = FG._take_fields_rowpack(jnp.asarray(tbl), ix, idx.shape)
+        assert len(cols) == F
+        for f, c in enumerate(cols):
+            assert np.array_equal(np.asarray(c), tbl[idx, f]), (F, f)
+
+
+def test_take_fields_rowpack_multidim_idx():
+    import jax.numpy as jnp
+
+    from uncalled_tpu.ops import flat_gather as FG
+
+    rng = np.random.default_rng(12)
+    tbl = rng.integers(-100, 100, (777, 5)).astype(np.int32)
+    idx = rng.integers(0, 777, (64, 64)).astype(np.int32)
+    cols = FG._take_fields_rowpack(
+        jnp.asarray(tbl), jnp.asarray(idx), idx.shape
+    )
+    for f, c in enumerate(cols):
+        assert c.shape == idx.shape
+        assert np.array_equal(np.asarray(c), tbl[idx, f])

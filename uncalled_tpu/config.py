@@ -159,7 +159,12 @@ class EngineParams:
     # total cost (measured 7.8 + 13.9 s split vs 20.8 s single-tier for
     # the 18 foreign bench reads).  One wide+deep re-run is the floor
     # short of giving up early, which parity forbids.
-    pool_wide: tuple = (1536, 16384)  # (slots_per_read, clusters)
+    # slots_per_read 1536 -> 1024 from measured tier pool high-water
+    # (BENCH r4: keep hw 11227, flags hw 16781 across the 14-monster
+    # load at B=16 => S=16384 keeps 31% margin and cuts the tier's
+    # S-proportional step cost ~25-30%; SC floors at 32768 regardless,
+    # batch.py)
+    pool_wide: tuple = (1024, 16384)  # (slots_per_read, clusters)
     # second pooled tier for the wide tier's own evictions (in practice:
     # un-decidable "foreign" reads that wander the whole reference and
     # accumulate clusters without bound — the reference's std::set has

@@ -1264,8 +1264,18 @@ class MapEngine:
         )
         p = self.params
 
-        def _adv(state, means, on):
-            return advance_block(self.idx, p, state, means, on)
+        # index tables ride as jit ARGUMENTS, not closure constants:
+        # embedded-constant programs serialized to 160+ MB persistent-
+        # cache entries whose keys did NOT hit across processes (three
+        # identical runs compiled the same advance three times, ~128 s
+        # each over the remote tunnel); argument tables hash by shape
+        self._tables = {
+            k: v for k, v in self.idx.items() if not isinstance(v, int)
+        }
+        meta = {k: v for k, v in self.idx.items() if isinstance(v, int)}
+
+        def _adv(state, means, on, tables):
+            return advance_block(dict(tables, **meta), p, state, means, on)
 
         self._advance = jax.jit(_adv, donate_argnums=(0,))
         # reset must be jitted: eagerly it dispatches ~30 table-sized ops
@@ -1286,7 +1296,7 @@ class MapEngine:
 
         means = jnp.asarray(means, dtype=jnp.float32)
         on = jnp.asarray(on, dtype=bool)
-        return self._advance(state, means, on)
+        return self._advance(state, means, on, self._tables)
 
     READOUT_KEYS = (
         "done", "success", "dec_evt", "evt_i", "ovf", "ovf_why",

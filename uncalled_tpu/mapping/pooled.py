@@ -1451,8 +1451,18 @@ class PooledEngine:
         )
         p = self.params
 
-        def _adv(state, means, on):
-            return pool_advance_block(self.idx, p, state, means, on)
+        # index tables as jit ARGUMENTS (see MapEngine.__init__): the
+        # closure-constant form broke persistent-cache key stability
+        # across processes and serialized 160+ MB cache entries
+        self._tables = {
+            k: v for k, v in self.idx.items() if not isinstance(v, int)
+        }
+        meta = {k: v for k, v in self.idx.items() if isinstance(v, int)}
+
+        def _adv(state, means, on, tables):
+            return pool_advance_block(
+                dict(tables, **meta), p, state, means, on
+            )
 
         self._advance = jax.jit(_adv, donate_argnums=(0,))
         # reset must be jitted: eagerly it dispatches ~40 pool-sized ops
@@ -1492,7 +1502,7 @@ class PooledEngine:
 
         means = jnp.asarray(means, dtype=jnp.float32)
         on = jnp.asarray(on, dtype=bool)
-        return self._advance(state, means, on)
+        return self._advance(state, means, on, self._tables)
 
     # packed [K, B] readout, split into async dispatch + blocking fetch
     # exactly like MapEngine's (one transfer per block; pipelinable)

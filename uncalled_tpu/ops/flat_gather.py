@@ -211,16 +211,27 @@ def _gather_i32(tbl, idx):
     return out[:, :K]
 
 
-_TAKE1D_LANES = 8
+# _TAKE1D_LANES: 8 MEASURED best (11.65 ms/event vs 12.20 at L=128 on
+# the full step, same harness).  The lane-pad theory (8 -> 128 padded
+# rows = 16x table-build tax, so L=128 should win) is FALSIFIED — the
+# wider rows cost more in the gather/select than any padding they
+# avoid.  Env knob kept as a probe hook.
+_TAKE1D_LANES = int(os.environ.get("UNCALLED_TAKE1D_LANES", "8"))
 _TAKE1D_MIN_K = 2048
+# default OFF: both rowpack layouts MEASURED SLOWER than the plain
+# padded-table gather at the bench shape (no-rowpack 12.2 ms/event vs
+# row-major 14.4 / field-major 15.1 — the extraction passes cost more
+# than the 128/F-padded table build they avoid).  Kept behind the env
+# knob as a negative result + probe hook.
+_ROWPACK = os.environ.get("UNCALLED_ROWPACK", "0") == "1"
 
 
 def _take1d(tbl, ix):
-    """1D XLA gather via [N/8, 8] row gather + lane select.
+    """1D XLA gather via [N/L, L] row gather + lane select.
 
     The TPU gather emitter serves 2D row gathers at ~1.5-4.5 ns/idx but
     1D gathers at ~7 ns/idx even from VMEM (measured, docs/PERF.md), so
-    flat [N] tables are reshaped to 8-lane rows and the in-row element
+    flat [N] tables are reshaped to L-lane rows and the in-row element
     picked with an exact masked i32 sum.  ``ix`` must be pre-clamped.
     Bit-exact for any 32-bit dtype (i32 bitcast both ways)."""
     import jax
@@ -229,12 +240,13 @@ def _take1d(tbl, ix):
     from .mxu_gather import _from_i32, _to_i32
 
     L = _TAKE1D_LANES
+    shift = L.bit_length() - 1
     n = tbl.shape[0]
     flat, kind = _to_i32(tbl)
     pad = (-n) % L
     if pad:
         flat = jnp.concatenate([flat, jnp.zeros((pad,), jnp.int32)])
-    rows = jnp.take(flat.reshape(-1, L), ix >> np.int32(3), axis=0)
+    rows = jnp.take(flat.reshape(-1, L), ix >> np.int32(shift), axis=0)
     lane = (ix & np.int32(L - 1)).astype(jnp.int32)
     iota = jax.lax.broadcasted_iota(jnp.int32, rows.shape, rows.ndim - 1)
     out32 = jnp.sum(
@@ -282,6 +294,47 @@ def flat_gather(tbl, idx, force=None):
     return jnp.moveaxis(out, 0, -1).reshape(*kshape, tbl.shape[1])
 
 
+def _take_fields_rowpack(tbl, ix, kshape):
+    """Row gather of [N, F] i32 with P=2^k logical rows per 128-lane
+    physical row ([N/P, P*F]).
+
+    A row-major [N, F] table tiles T(8,128) with the F lanes PADDED to
+    128 (traced: the 15-field [98304, 15] pack occupies 50 MB and its
+    build relayout-copies the whole padded array), so stack+relayout
+    pays a 128/F x write tax.  Packing keeps >= 120/128 lanes full; the
+    extraction is _take1d's masked lane select generalized to F fields
+    (exact: pure selects/sums).  ``ix`` must be pre-clamped."""
+    import jax
+    import jax.numpy as jnp
+
+    N, F = tbl.shape
+    P, shift = 1, 0
+    while P * 2 * F <= 128:
+        P, shift = P * 2, shift + 1
+    Np = _round_up(N, P)
+    t2 = tbl if Np == N else jnp.pad(tbl, ((0, Np - N), (0, 0)))
+    # FIELD-major within each physical row (row a = [f0 of P rows | f1
+    # of P rows | ...]): each field then extracts from a CONTIGUOUS
+    # P-lane window with the one shared [K, P] one-hot — one traversal
+    # of the gathered rows for all F outputs.  (Row-major packing needed
+    # F strided [K, P] lane slices, each a relayout pass: measured +2
+    # ms/event over the unpacked path.)
+    t2 = t2.reshape(Np // P, P, F).transpose(0, 2, 1).reshape(Np // P, F * P)
+    ixf = ix.reshape(-1)
+    rows = jnp.take(t2, ixf >> shift, axis=0)  # [K, F*P]
+    m = (
+        jax.lax.broadcasted_iota(jnp.int32, (ixf.shape[0], P), 1)
+        == (ixf & np.int32(P - 1))[:, None]
+    )
+    return [
+        jnp.sum(
+            jnp.where(m, rows[:, f * P:(f + 1) * P], np.int32(0)),
+            axis=1, dtype=jnp.int32,
+        ).reshape(kshape)
+        for f in range(F)
+    ]
+
+
 def flat_gather_fields(tbl, idx, force=None):
     """Like :func:`flat_gather` on [N, F] but returns a LIST of F
     flat [K...] slices (fields-major kernel layout, no relayout)."""
@@ -294,7 +347,13 @@ def flat_gather_fields(tbl, idx, force=None):
     ) and fits(tbl.shape[0], tbl.shape[1])
     kshape = idx.shape
     if not use:
-        ix = jnp.clip(idx, 0, tbl.shape[0] - 1)
+        import jax
+
+        N, F = tbl.shape
+        ix = jnp.clip(idx, 0, N - 1)
+        if (_ROWPACK and _use_pallas() and F <= 64
+                and idx.size >= _TAKE1D_MIN_K):
+            return _take_fields_rowpack(tbl, ix, kshape)
         g = jnp.take(tbl, ix, axis=0)
         # fields-major relayout ONCE, then row slices are contiguous —
         # per-column minor-dim extraction cost one slice_reduce pass
