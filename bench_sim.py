@@ -168,6 +168,16 @@ def main():
             "eject_latency_s_p50_p90_p99": pct(tags["ej"]),
             "keep_latency_s_p50_p90_p99": pct(tags["kp"]),
             "mt_batchshared_ms_p50_p90_p99": pct(mts),  # advance wall is shared by all active channels (mapper.py)
+            # realtime pool-global demand high-water vs capacity
+            # ([flags, valid, keep, entries, rows] vs [SC, SC, S, RE,
+            # RT]): the sizing evidence for the streaming pool, whose
+            # per-tick step cost is ~linear in S
+            "pool_hw": [int(x) for x in np.asarray(rt.state["dm_pool"])]
+            if "dm_pool" in rt.state else None,
+            "pool_cap": [rt.eng.params.SC, rt.eng.params.SC,
+                         rt.eng.params.S, rt.eng.params.RE,
+                         rt.eng.params.RT]
+            if hasattr(rt.eng.params, "SC") else None,
             "compile_s": round(compile_s, 1),
             "reference": "README.md:104-108 mt 63-376 ms, wt <= 1591 ms (16 CPU threads)",
         },

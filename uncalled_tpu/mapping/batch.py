@@ -161,11 +161,14 @@ class BatchMapper:
                 Bw = max(2, self._B_entry // (16 * (2 ** self._pool_tier)))
                 # SC: Bw*slots*5/4 measured clean at B=16 (run 1), but a
                 # SMALL tier's SC must floor at the monsters' per-EVENT
-                # flag demand (max 7822/read; run 2's B=4-scaled SC=7680
+                # flag demand (max 9899/read; run 2's B=4-scaled SC=7680
                 # cut 7 reads onto the B=2 max tier for 24.3 s); 5*S is
-                # the structural cap (<=5 flags per slot).
+                # the structural cap (<=5 flags per slot).  Floor 24576:
+                # tier dm_pool flags high-water 16781 across the full
+                # 14-monster bench load (1.46x margin; an SC cut here
+                # re-ejects to the max tier, so the margin stays fat).
                 SCw = min(5 * Bw * slots,
-                          max(Bw * slots + Bw * slots // 4, 32768))
+                          max(Bw * slots + Bw * slots // 4, 24576))
                 self._next_mapper = BatchMapper(
                     self.fmi, self.model, self.threshes, self.conf,
                     emit_timing=self.emit_timing,
