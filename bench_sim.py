@@ -71,12 +71,14 @@ def main():
     conf = Conf()
     conf.reads.num_channels = N_CH
     conf.simulator.sim_speed = 1.0
-    # realtime pool sizing: streaming reads DECIDE within ~230 events and
-    # get ejected/kept, so the per-channel path demand never approaches
-    # the batch-mapping pool's 384 slots/read; a leaner pool cuts the
-    # per-event step cost (~linear in S) for every tick
+    # realtime pool sizing: MEASURED dm_pool high-water at 512 channels
+    # was keep 126542 / flags 115058 — 192 slots/read (S=98304) ran the
+    # pool OVER capacity (cut reads now give up via the ovf valve,
+    # realtime/mapper.py).  288 slots/read covers the measured want
+    # with margin; the step cost is ~linear in S, so fewer channels per
+    # chip is the other way to buy margin.
     conf.engine.pool_slots_per_read = int(
-        os.environ.get("BENCH_SIM_SLOTS", 192)
+        os.environ.get("BENCH_SIM_SLOTS", 288)
     )
 
     clock = SimClock()

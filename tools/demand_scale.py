@@ -131,12 +131,30 @@ def main():
     dmv = np.array(list(bm.demand.values())) if bm.demand else np.zeros((0, 4))
     rungs = []
     why = {}
+    pool_hw = {}
+
+    def _walk_drains(m):
+        while m is not None:
+            yield m
+            m = m._drain_mapper
+
     m_ = bm
+    ri = 0
     while m_ is not None:
-        rungs.append(len(m_.ovf_why))
-        for w in m_.ovf_why.values():
-            why[str(w)] = why.get(str(w), 0) + 1
+        n_ej = 0
+        for dm_ in _walk_drains(m_):
+            n_ej += len(dm_.ovf_why)
+            for w in dm_.ovf_why.values():
+                why[str(w)] = why.get(str(w), 0) + 1
+            if dm_.pool_hw.any():
+                p_ = dm_.eng.params
+                pool_hw[f"rung{ri}_B{p_.B}"] = {
+                    "hw": [int(x) for x in dm_.pool_hw],
+                    "cap": [p_.SC, p_.SC, p_.S, p_.RE, p_.RT],
+                }
+        rungs.append(n_ej)
         m_ = m_._next_mapper
+        ri += 1
 
     # oracle sample for cluster-demand tails (CPU; reference budgets)
     om = OracleMapper(fmi, model, threshes, Conf(), collect_stats=True)
@@ -165,6 +183,7 @@ def main():
             } if len(dmv) else None,
             "rung_ejects": rungs,
             "eject_why": why,
+            "pool_hw": pool_hw,
             "oracle_sample_reads": min(N_ORACLE, len(reads)),
             "cluster_demand_per_event_p50_p99_max": pcts(cl_all),
             "cluster_demand_read_max_p50_p99_max": pcts(cl_max),

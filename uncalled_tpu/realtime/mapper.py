@@ -148,11 +148,19 @@ class RealtimeMapper:
                 continue
             success = bool(ro["success"][c]) and bool(ro["done"][c])
             # give-up: max_events / chunk timeout (ms; the CLI-effective
-            # default 4e6 ms effectively disables it) / max_chunks
+            # default 4e6 ms effectively disables it) / max_chunks.
+            # A PHYSICAL pool cut (ovf) also gives up: the read's path
+            # set is no longer the reference's, so an eject decision off
+            # it could be wrong — ending it unmapped keeps the channel
+            # sequencing (the conservative ReadUntil outcome).  The
+            # batch mapper instead REMAPS such reads on a wider tier;
+            # a realtime slot cannot re-run its history, so the valve
+            # is give-up.  Sized so this ~never fires (dm_pool).
             timed_out = (
                 int(ro["evt_i"][c]) >= mp.max_events
                 or (now - ch.last_chunk_t) * 1000.0 > mp.chunk_timeout
                 or ch.n_chunks >= self.conf.reads.max_chunks
+                or bool(ro["ovf"][c])
             )
             if not (success or timed_out):
                 continue
