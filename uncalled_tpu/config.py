@@ -177,6 +177,12 @@ class EngineParams:
     # remain, restart them on a B/8-wide mapper (step cost ~ B) instead
     # of paying full-width steps for a near-empty batch
     drain_shrink: bool = True
+    # drain chain shrink factor: B -> B/div per stage.  div=2 fires the
+    # first drain at pending <= B/2 (the declining-occupancy tail at
+    # 45-90% empty slots was ~4 s of the measured bench wall; the /4
+    # chain waits until pending <= 64 to leave the full-width mapper).
+    # More stages = more compiled programs (cached) + migrations.
+    drain_div: int = 2
     # smallest B that still drains to B/4: low enough that the eject
     # TIERS (B=16) chain to B=4 drains too — their straggler tails are
     # the longest streams in the whole run (undecidable foreign reads)

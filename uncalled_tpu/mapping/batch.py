@@ -159,6 +159,15 @@ class BatchMapper:
                 # load in one wave (20.7 s); B=4 took ~4 waves at the
                 # same per-wave cost (30 s).  Keep B = B_entry/16.
                 Bw = max(2, self._B_entry // (16 * (2 ** self._pool_tier)))
+                if slots >= 512:
+                    # floor 8 (tier 1: 4): at small entry batches the
+                    # B-scaled tier pool collapses below the monsters'
+                    # own path demand (100 Mb run at B_entry=64: tier
+                    # S=4*1024=4096 < paths hw 5747 => 25 re-ejects
+                    # through a useless tier, demand_scale).  Scoped to
+                    # production-sized tiers so deliberately tiny
+                    # pool_wide configs still trip (tests).
+                    Bw = max(8 // (1 + self._pool_tier), Bw)
                 # SC: Bw*slots*5/4 measured clean at B=16 (run 1), but a
                 # SMALL tier's SC must floor at the monsters' per-EVENT
                 # flag demand (max 9899/read; run 2's B=4-scaled SC=7680
@@ -178,7 +187,8 @@ class BatchMapper:
                     engine=PooledEngine(
                         self.fmi, self.model, self.threshes, self.conf,
                         B=Bw, S=Bw * slots, SC=SCw,
-                        CL=CLw, R=1024, FS=512, RE=2048, RT=8192,
+                        CL=CLw, R=max(1024, self.eng.params.R), FS=512,
+                        RE=2048, RT=max(8192, self.eng.params.RT),
                     ),
                 )
                 # tiers run a handful of monster reads for thousands of
@@ -209,7 +219,7 @@ class BatchMapper:
             # slots/read — an S/2-sized drain pool was measured 2.9 s
             # slower on the bench (light tails don't need the headroom;
             # path-heavy reads now finish inside the full batch)
-            Bd = max(4, self.eng.params.B // 4)
+            Bd = max(4, self.eng.params.B // self.conf.engine.drain_div)
             self._drain_mapper = BatchMapper(
                 self.fmi, self.model, self.threshes, self.conf,
                 emit_timing=self.emit_timing, _rung=self._rung,
@@ -487,7 +497,7 @@ class BatchMapper:
         # in-flight block: (readout handle, [(slot idx, slot, fed_after)]).
         pend = None
         while pending or pend is not None:
-            thresh = max(4, B // 4)
+            thresh = max(4, B // self.conf.engine.drain_div)
             want_drain = can_drain and input_done and pending <= thresh
             if pend is None and pending and want_drain:
                 # straggler drain (pipeline empty, state fully settled):
@@ -497,7 +507,9 @@ class BatchMapper:
                 dm = self._get_drain()
                 keep = [b for b in range(B) if slots[b] is not None]
                 mig = self._try_migrate(dm, state, keep)
-                if mig == "nofit" and pending > max(4, B // 8):
+                if mig == "nofit" and pending > max(
+                    4, B // (2 * self.conf.engine.drain_div)
+                ):
                     # path-heavy stragglers exceed the narrow pool: stay
                     # on the wide mapper until fewer remain rather than
                     # restarting (re-burning) all of them

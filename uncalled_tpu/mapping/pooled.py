@@ -1442,6 +1442,23 @@ class PooledEngine:
         over.setdefault("sort_mode", "bitonic" if on_tpu else "flat")
         over.setdefault("tracker_kernel", on_tpu)
         over.setdefault("stepkern", on_tpu)
+        # genome-scaled pool caps (tools/demand_scale.py, 100 Mb Markov
+        # genome, 256 reads): per-read seed-row demand roughly doubles
+        # (max 1898 vs 948 at 4.7 Mb; eject_why bit 16 hit 72/256 reads
+        # at R=1024), entry counts pass 1024 (hw 1107), and per-read
+        # path/flag demand grows ~40% — while CLUSTER demand does NOT
+        # blow up (oracle true max 1939 < CL=2048).  Scale the row/slot
+        # caps once the index is big; the 4.7 Mb bench keeps the lean
+        # shapes (R=2048 costs ~+0.4 ms/event there for nothing).
+        if getattr(fmi, "n", 0) >= 150_000_000:
+            over.setdefault("R", 2048)
+            b_ = over.get("B", self.conf.engine.batch_reads)
+            over.setdefault("RE", max(2048, 4 * b_))
+            over.setdefault("RT", max(12288, 24 * b_))
+            if "S" not in over:
+                over["S"] = max(4096, b_ * max(
+                    512, self.conf.engine.pool_slots_per_read
+                ))
         self.params = PoolParams.from_conf(self.conf, **over)
         self.fmi = fmi
         self.model = model
