@@ -490,58 +490,67 @@ def main():
         "NA": len(timed_reads) - N_READS,
     }
 
-    print(
-        json.dumps(
-            {
-                # the genome is a 4.7 Mb SIMULATED (repeat-bearing Markov)
-                # reference at E. coli scale, not E. coli sequence
-                "metric": "reads_per_sec_chip_simgenome4.7Mb",
-                "value": round(reads_per_sec, 2),
-                "unit": "reads/s",
-                "vs_baseline": round(reads_per_sec / BASELINE_READS_PER_SEC, 3),
-                "extra": {
-                    "n_reads": len(timed_reads),
-                    "read_mix": {
-                        "sim_markov_genome": N_READS,
-                        "golden_fixture_pore_model": len(golden_reads) - n_real,
-                        "real_nanopore": n_real,
-                    },
-                    "mapped_frac": round(n_mapped / N_READS, 4),
-                    "correct_frac": round(n_correct / N_READS, 4),
-                    "confusion": confusion,
-                    "bp_to_map_mean": round(float(np.mean(bp_to_map)), 1)
-                    if bp_to_map else None,
-                    "bp_to_map_median": round(float(np.median(bp_to_map)), 1)
-                    if bp_to_map else None,
-                    "mismapped_ids": mismapped[:32],
-                    "wall_s": round(dt, 2),
-                    "ms_per_read": round(dt * 1000 / len(timed_reads), 2),
-                    "batch": BATCH,
-                    "paths": PATHS,
-                    "remapped": rungs[0] if rungs else 0,
-                    "rung_ejects": rungs,
-                    # ovf bitmask histogram: 1=CL evict, 2=cand pool,
-                    # 4=full-source cap, 8=path pool, 16=row caps
-                    "eject_why": {str(k): v for k, v in why_hist.items()},
-                    "slot_utilization": util,
-                    "pool_hw": pool_hw,
-                    "eject_ids": eject_ids[:24],
-                    "mapper_blocks": {
-                        k: [v[0], round(v[1], 1)]
-                        for k, v in tele.items()
-                        if not k.endswith(":blocks")
-                    },
-                    "demand_p50_p99_max": dmstats,
-                    **({"rig_agree": rig_agree} if rig_agree is not None else {}),
-                    **({"rig_disagree_ids": rig_disagree[:16]}
-                       if rig_agree is not None and rig_disagree else {}),
-                    **({"rig_agree_mismapped": rig_agree_mismapped}
-                       if rig_agree_mismapped is not None else {}),
-                },
-            }
-        ),
-        flush=True,
-    )
+    # Telemetry goes to a FILE + stderr; stdout's FINAL line is a compact
+    # (<400 char) headline JSON so the driver's tail capture always parses
+    # it (BENCH_r03/r04 were lost first to trailing telemetry, then to the
+    # headline line itself growing past the tail window — VERDICT r4 #2).
+    extra = {
+        "n_reads": len(timed_reads),
+        "read_mix": {
+            "sim_markov_genome": N_READS,
+            "golden_fixture_pore_model": len(golden_reads) - n_real,
+            "real_nanopore": n_real,
+        },
+        "mapped_frac": round(n_mapped / N_READS, 4),
+        "correct_frac": round(n_correct / N_READS, 4),
+        "confusion": confusion,
+        "bp_to_map_mean": round(float(np.mean(bp_to_map)), 1)
+        if bp_to_map else None,
+        "bp_to_map_median": round(float(np.median(bp_to_map)), 1)
+        if bp_to_map else None,
+        "mismapped_ids": mismapped[:32],
+        "wall_s": round(dt, 2),
+        "ms_per_read": round(dt * 1000 / len(timed_reads), 2),
+        "batch": BATCH,
+        "paths": PATHS,
+        "remapped": rungs[0] if rungs else 0,
+        "rung_ejects": rungs,
+        # ovf bitmask histogram: 1=CL evict, 2=cand pool,
+        # 4=full-source cap, 8=path pool, 16=row caps
+        "eject_why": {str(k): v for k, v in why_hist.items()},
+        "slot_utilization": util,
+        "pool_hw": pool_hw,
+        "eject_ids": eject_ids[:24],
+        "mapper_blocks": {
+            k: [v[0], round(v[1], 1)]
+            for k, v in tele.items()
+            if not k.endswith(":blocks")
+        },
+        "demand_p50_p99_max": dmstats,
+        **({"rig_disagree_ids": rig_disagree[:16]}
+           if rig_agree is not None and rig_disagree else {}),
+    }
+    try:
+        with open(os.path.join("bench_data", "bench_extra.json"), "w") as f:
+            json.dump(extra, f, indent=1)
+    except OSError:
+        pass
+    print("bench extra: " + json.dumps(extra), file=sys.stderr, flush=True)
+    headline = {
+        # the genome is a 4.7 Mb SIMULATED (repeat-bearing Markov)
+        # reference at E. coli scale, not E. coli sequence
+        "metric": "reads_per_sec_chip_simgenome4.7Mb",
+        "value": round(reads_per_sec, 2),
+        "unit": "reads/s",
+        "vs_baseline": round(reads_per_sec / BASELINE_READS_PER_SEC, 3),
+        "n_reads": len(timed_reads),
+        **({"rig_agree": rig_agree} if rig_agree is not None else {}),
+        **({"rig_agree_mismapped": rig_agree_mismapped}
+           if rig_agree_mismapped is not None else {}),
+    }
+    line = json.dumps(headline)
+    assert len(line) < 400, len(line)
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -217,7 +217,11 @@ def test_drain_shrink_preserves_parity(
     ]
     reads = [make_read(r, golden_reads[r]) for r in rids]
     got = {p.rd_name: p.to_line() for p in bm.map_reads(reads)}
-    assert bm._drain_mapper is not None  # the drain path actually ran
-    assert bm._drain_mapper.eng.params.B == 16
+    # parity first: the whole point of the test is byte identity
+    # through the drain restart (a sizing regression must not mask it)
     for rid in rids:
         assert got[rid] == golden_pafs[rid], rid
+    assert bm._drain_mapper is not None  # the drain path actually ran
+    # expected drain width derives from the tier logic, not a constant
+    exp_B = max(4, conf.engine.batch_reads // conf.engine.drain_div)
+    assert bm._drain_mapper.eng.params.B == exp_B

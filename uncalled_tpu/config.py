@@ -162,7 +162,7 @@ class EngineParams:
     # slots_per_read 1536 -> 1024 from measured tier pool high-water
     # (BENCH r4: keep hw 11227, flags hw 16781 across the 14-monster
     # load at B=16 => S=16384 keeps 31% margin and cuts the tier's
-    # S-proportional step cost ~25-30%; SC floors at 32768 regardless,
+    # S-proportional step cost ~25-30%; SC floors at 24576 regardless,
     # batch.py)
     pool_wide: tuple = (1024, 16384)  # (slots_per_read, clusters)
     # second pooled tier for the wide tier's own evictions (in practice:

@@ -245,11 +245,15 @@ class BatchMapper:
         P, _, R, CL, CE = ladder[rung_i]
         CE = CE if CE else P + max(P // 4, 256)
         fl, va, pa, rw = dm[:4]
-        if fl > CE or va > P or pa > P or rw > R:
+        # dm_cl (dm[4], sticky max live clusters) is a true cluster-demand
+        # lower bound: a rung whose CL doesn't exceed it re-overflows
+        cl_dm = dm[4] if len(dm) > 4 else 0
+        if fl > CE or va > P or pa > P or rw > R or cl_dm > CL:
             return False
-        # a cluster-table eviction (bit 1) gives no demand lower bound;
-        # require strictly more cluster capacity than the tripped rung
-        if (why & 1) and CL <= self.eng.params.CL:
+        # for a cluster-table eviction (bit 1) the observed dm_cl is
+        # itself capped at the tripped table's CL, so true demand exceeds
+        # it: require strictly more cluster capacity than both
+        if (why & 1) and CL <= max(self.eng.params.CL, cl_dm):
             return False
         return True
 

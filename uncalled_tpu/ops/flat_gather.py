@@ -217,6 +217,13 @@ def _gather_i32(tbl, idx):
 # wider rows cost more in the gather/select than any padding they
 # avoid.  Env knob kept as a probe hook.
 _TAKE1D_LANES = int(os.environ.get("UNCALLED_TAKE1D_LANES", "8"))
+# _take1d's shift/mask arithmetic (L.bit_length()-1, ix & (L-1)) is only
+# correct for power-of-two L — fail loudly instead of silently gathering
+# wrong elements if a probe run sets a bad value.
+if _TAKE1D_LANES <= 0 or (_TAKE1D_LANES & (_TAKE1D_LANES - 1)) != 0:
+    raise ValueError(
+        f"UNCALLED_TAKE1D_LANES={_TAKE1D_LANES} must be a power of two"
+    )
 _TAKE1D_MIN_K = 2048
 # default OFF: both rowpack layouts MEASURED SLOWER than the plain
 # padded-table gather at the bench shape (no-rowpack 12.2 ms/event vs
