@@ -222,15 +222,25 @@ def main():
     # advance — warm it explicitly or the first timed block eats a
     # 90-150 s compile (exactly what the per-block telemetry caught)
     warm(bm)
-    if conf.engine.drain_shrink:
-        d = bm
-        while d.eng.params.B >= 64:  # the whole drain chain
+
+    def warm_drains(mp, min_b):
+        d = mp
+        while d.eng.params.B >= min_b:
             d = d._get_drain()
             warm(d)
+
+    if conf.engine.drain_shrink:
+        # the whole entry chain: BENCH_r04 telemetry caught drain_B16's
+        # advance compiling INSIDE the timed window (7.5 s dispatch wall
+        # for 2 blocks)
+        warm_drains(bm, 16)
     m = bm
     for _ in range(n_warm_rungs):
         m = m._get_next()
         warm(m)
+        if conf.engine.drain_shrink and m._pool_tier > 0:
+            # pooled eject tiers drain too now (B 16 -> 8 -> 4)
+            warm_drains(m, conf.engine.drain_min_batch)
 
     # per-mapper telemetry: blocks + advance wall per rung/drain, so a
     # slow run explains itself (stderr + JSON extra)

@@ -49,11 +49,21 @@ def main():
             nm = ev.get("args", {}).get("name", "")
             if "TPU" in nm or "TensorCore" in nm or "/device" in nm:
                 dev_pids.add(ev["pid"])
+    # restrict to the "XLA Ops" thread lane: other lanes on the same pid
+    # (modules, steps) carry umbrella copies that double-count
+    op_tids = set()
+    for ev in tr["traceEvents"]:
+        if (ev.get("ph") == "M" and ev.get("name") == "thread_name"
+                and ev.get("args", {}).get("name") == "XLA Ops"):
+            op_tids.add((ev["pid"], ev["tid"]))
 
     by_key = defaultdict(lambda: [0.0, 0])
+    by_scope = defaultdict(lambda: [0.0, 0])
     total = 0.0
     for ev in tr["traceEvents"]:
         if ev.get("ph") != "X" or ev.get("pid") not in dev_pids:
+            continue
+        if op_tids and (ev["pid"], ev.get("tid")) not in op_tids:
             continue
         dur = ev.get("dur", 0) / 1000.0  # us -> ms
         name = ev.get("name", "")
@@ -66,6 +76,18 @@ def main():
         by_key[(stem, src)][0] += dur
         by_key[(stem, src)][1] += 1
         total += dur
+        # roll up by frontend named_scope (jax.named_scope labels ride
+        # in tf_op, e.g. .../body/closed_call/gpar/jit(_take)/gather)
+        top = args.get("tf_op", "")
+        scope = "<unscoped>"
+        for part in top.split("/"):
+            if part and "(" not in part and part not in (
+                "while", "body", "closed_call", "cond", "transpose",
+            ) and not part.startswith("jit"):
+                scope = part.rstrip(":")
+                break
+        by_scope[scope][0] += dur
+        by_scope[scope][1] += 1
 
     rows = sorted(by_key.items(), key=lambda kv: -kv[1][0])
     print(f"device total: {total:.2f} ms over {sum(c for _, (_, c) in rows)} op execs  [{path}]")
@@ -94,6 +116,10 @@ def main():
     print("\ncategory rollup:")
     for c, ms in sorted(roll.items(), key=lambda kv: -kv[1]):
         print(f"  {ms:9.3f} ms  {c}")
+
+    print("\nnamed-scope rollup:")
+    for sc, (ms, cnt) in sorted(by_scope.items(), key=lambda kv: -kv[1][0])[:30]:
+        print(f"  {ms:9.3f} ms {cnt:7d}x  {sc}")
 
 
 if __name__ == "__main__":

@@ -220,11 +220,43 @@ class BatchMapper:
             # slower on the bench (light tails don't need the headroom;
             # path-heavy reads now finish inside the full batch)
             Bd = max(4, self.eng.params.B // self.conf.engine.drain_div)
-            self._drain_mapper = BatchMapper(
-                self.fmi, self.model, self.threshes, self.conf,
-                emit_timing=self.emit_timing, _rung=self._rung,
-                **{**self._over, "B": Bd},
-            )
+            if self._pool_tier > 0:
+                # EJECT-TIER drain: the tier runs a handful of monster
+                # reads whose wall is set by the LONGEST one (BENCH_r04:
+                # 21.1 s of 39.5 for 14 monsters at B=16, the late
+                # blocks ~6% occupied).  Per-event cost is ~prop. to
+                # S/SC, so chaining B 16 -> 8 -> 4 while the monsters
+                # finish cuts the single-straggler tail ~4x.  The drain
+                # must inherit the TIER's per-read pool geometry
+                # (slots/read, CL, R, RE, RT) — a conf-default drain
+                # (384 slots, CL=2048) would instantly re-evict the
+                # very reads the tier exists for — and migration
+                # additionally requires equal CL (migrate_pool_state).
+                from .pooled import PooledEngine
+
+                pp = self.eng.params
+                slots = pp.S // pp.B
+                self._drain_mapper = BatchMapper(
+                    self.fmi, self.model, self.threshes, self.conf,
+                    emit_timing=self.emit_timing, _rung=self._rung,
+                    _pool_tier=self._pool_tier, _B_entry=self._B_entry,
+                    engine=PooledEngine(
+                        self.fmi, self.model, self.threshes, self.conf,
+                        B=Bd, S=Bd * slots,
+                        # per-EVENT flag demand is per-read (monsters
+                        # burst up to ~10k flags), so SC keeps the
+                        # tier's floor rather than scaling with B
+                        SC=min(5 * Bd * slots,
+                               max(Bd * slots + Bd * slots // 4, pp.SC)),
+                        CL=pp.CL, R=pp.R, FS=pp.FS, RE=pp.RE, RT=pp.RT,
+                    ),
+                )
+            else:
+                self._drain_mapper = BatchMapper(
+                    self.fmi, self.model, self.threshes, self.conf,
+                    emit_timing=self.emit_timing, _rung=self._rung,
+                    **{**self._over, "B": Bd},
+                )
             # double the event block to halve per-block dispatch/readout
             # round trips.  (Under LPT the tail holds SHORT reads, so
             # this trades a little finalize latency per read for fewer
@@ -481,13 +513,18 @@ class BatchMapper:
         )
         overflowed = [] if ovf_sink is None else ovf_sink
         drained = []
-        # drain only at the entry rung: ladder rungs see few reads (their
-        # batches are already small) and a drain mapper is another
-        # compiled program per rung
+        # drain at the entry rung AND at pooled eject tiers (the tier
+        # wall is set by the longest monster read at shrinking occupancy
+        # — BENCH_r04: 53% of bench wall at ~25% occupancy); classic
+        # ladder rungs stay drain-free (their batches are already small
+        # and a drain mapper is another compiled program per rung)
         can_drain = (
             self.conf.engine.drain_shrink
             and B >= self.conf.engine.drain_min_batch
-            and self._rung == 0
+            and (self._rung == 0 or self._pool_tier > 0)
+            # the B//div shrink floors at 4: a drain that wouldn't
+            # actually narrow the batch is pure program churn
+            and max(4, B // self.conf.engine.drain_div) < B
         )
 
         state = refill(state)
@@ -511,12 +548,18 @@ class BatchMapper:
                 dm = self._get_drain()
                 keep = [b for b in range(B) if slots[b] is not None]
                 mig = self._try_migrate(dm, state, keep)
-                if mig == "nofit" and pending > max(
-                    4, B // (2 * self.conf.engine.drain_div)
+                if mig == "nofit" and (
+                    self._pool_tier > 0
+                    or pending > max(
+                        4, B // (2 * self.conf.engine.drain_div)
+                    )
                 ):
                     # path-heavy stragglers exceed the narrow pool: stay
                     # on the wide mapper until fewer remain rather than
-                    # restarting (re-burning) all of them
+                    # restarting (re-burning) all of them.  Tier monsters
+                    # NEVER restart-drain: re-burning a multi-thousand-
+                    # event monster at drain step cost exceeds any width
+                    # saving
                     mig = None
                     want_drain = False
                 elif mig == "nofit":

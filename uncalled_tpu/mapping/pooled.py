@@ -431,6 +431,8 @@ def _flat_take(tbl, idx, mxu, kn=None):
     serves it WHEN PROFITABLE (4-plane MAC cost vs XLA's ~10.5 ns/idx:
     flat_gather.profitable); bit-exact either way.  ``kn`` names the
     call site for knockout profiling (UNCALLED_POOL_KNOCKOUT)."""
+    import jax
+
     jnp = _jnp()
     if "gathers" in _KNOCKOUT or (kn is not None and kn in _KNOCKOUT):
         return jnp.broadcast_to(tbl[0], idx.shape + tbl.shape[1:])
@@ -439,7 +441,8 @@ def _flat_take(tbl, idx, mxu, kn=None):
     # force=False still routes through flat_gather: its XLA path carries
     # the 1D->rows lane trick (1D gathers run ~7 ns/idx on TPU even from
     # VMEM; 2D row gathers ~1.5-4.5 ns/idx)
-    return flat_gather(tbl, idx, force=None if mxu else False)
+    with jax.named_scope(kn or "gtk"):
+        return flat_gather(tbl, idx, force=None if mxu else False)
 
 
 def _flat_pack(fields, idx, mxu, kn=None):
@@ -464,10 +467,11 @@ def _flat_pack(fields, idx, mxu, kn=None):
         else:
             cols.append(f.astype(i32))
             kinds.append("i32")
-    packed = jnp.stack(cols, axis=1)  # [N, F]
     from ..ops.flat_gather import flat_gather_fields
 
-    gcols = flat_gather_fields(packed, idx, force=None if mxu else False)
+    with jax.named_scope(kn or "gpk"):
+        packed = jnp.stack(cols, axis=1)  # [N, F]
+        gcols = flat_gather_fields(packed, idx, force=None if mxu else False)
     out = []
     for k, kind in enumerate(kinds):
         v = gcols[k]
@@ -494,6 +498,36 @@ def _bucket_of(starts, w_out):
     sidx = jnp.where(starts < w_out, starts, np.int32(w_out))
     hist = jnp.zeros((w_out + 1,), i32).at[sidx].add(np.int32(1))
     return jnp.cumsum(hist[:w_out], dtype=i32) - 1
+
+
+def _seg_broadcast(fields, off, w_out):
+    """Broadcast per-read values onto their contiguous slot segments:
+    out_f[j] = f[max {b : off[b] <= j}] for each field f [B].
+
+    Replaces a ``_flat_pack(fields, owner)`` row gather: even from a
+    tiny VMEM table, a [w_out]-index gather costs ~1.5 ns/idx plus a
+    full layout copy (measured 150+36 us per pack at S=98304 — trace
+    r5); telescoping per-read DIFFS scattered at the segment starts and
+    re-accumulated with one exact i32 cumsum costs ~10 us.  Duplicate
+    starts (empty segments) telescope correctly: their diffs stack at
+    the same position and the later read wins, which is exactly the
+    max-b owner.  Slots past off[-1] get fields[.][B-1], matching the
+    gather-at-min(rid, B-1) convention for dead tail slots.  i32/bool
+    fields only (cumsum must be exact)."""
+    jnp = _jnp()
+    i32 = jnp.int32
+    offc = jnp.minimum(off[:-1], np.int32(w_out))  # [B] segment starts
+    out = []
+    for f in fields:
+        kind = "bool" if f.dtype == jnp.bool_ else None
+        fi = f.astype(i32)
+        diff = jnp.concatenate([fi[:1], fi[1:] - fi[:-1]])
+        acc = jnp.zeros((w_out,), i32).at[offc].add(
+            diff, mode="drop", indices_are_sorted=True,
+        )
+        v = jnp.cumsum(acc, dtype=i32)
+        out.append(v.astype(bool) if kind else v)
+    return out
 
 
 class _CompactMap:
@@ -533,15 +567,19 @@ class _CompactMap:
         C, G, N = self._C, self._G, self._N
         if "compact" in _KNOCKOUT:
             return jnp.clip(q, np.int32(0), np.int32(N - 1))
-        # chunk of the q-th True: last g with start[g] <= q, via the
-        # domain-wide step-function table (histogram + cumsum) + one
-        # gather — queries are arbitrary positions, unlike _compact1d's
-        # dense iota
-        if not hasattr(self, "_bucket"):
-            self._bucket = _bucket_of(self._start, N)
+        # chunk of the q-th True: last g with start[g] <= q.  The starts
+        # are only [G~288] wide, so a fused broadcast compare-sum
+        # (searchsorted as a rank count, ~Q*G VPU ops) beats the
+        # domain-wide [N] step-function table + gather it replaces: the
+        # table gather ran 150 us when the allocator kept the table in
+        # VMEM and 830 us when it fell to HBM (trace r5) — the
+        # compare-sum is layout-insensitive and builds nothing.
         qc = jnp.clip(q, np.int32(0), np.int32(N - 1))
         r = jnp.clip(
-            _flat_take(self._bucket, qc, mxu, kn=kn),
+            jnp.sum(
+                self._start[None, :] <= qc[:, None], axis=1,
+                dtype=i32,
+            ) - 1,
             np.int32(0), np.int32(G - 1),
         )
         q = qc
@@ -625,8 +663,10 @@ def _pool_event_step(idx, p: PoolParams, st, ev, ev_on):
         [jnp.zeros((1,), i32), jnp.cumsum(st["n_paths"], dtype=i32)]
     )  # [B+1]
     # one slot-space broadcast serves all step-start read scalars
-    al_slot, run_slot = _flat_pack(
-        [alive, alive | st["done"]], ridc, p.mxu
+    # (telescoping diff+cumsum: ~20x cheaper than the row gather at S
+    # indices, see _seg_broadcast)
+    al_slot, run_slot = _seg_broadcast(
+        [alive, alive | st["done"]], off, S
     )
     slot_alive = owned & al_slot & (st["q_total"] > 0)
 
@@ -698,13 +738,16 @@ def _pool_event_step(idx, p: PoolParams, st, ev, ev_on):
     # the 5 flag probs ride in the parent pack (row-gather width is
     # ~free), so the candidate's own prob needs no second table gather:
     # stay keeps the parent k-mer's prob, move b is neighbor b's prob
-    (cs, ce_, ck, ctot, ccons, cmvs, csa, ccum, cwst, crid,
+    (cs, ce_, ck, ctot, ccons, cmvs, csa, ccum, cwst,
      cp_stay, cp_m0, cp_m1, cp_m2, cp_m3) = _flat_pack(
         [st["q_start"], st["q_end"], st["q_kmer"], st["q_total"],
          st["q_consec"], st["q_moves"], st["q_sa"], cumnow_p, wstart_p,
-         ridc, stay_p, mv_p[:, 0], mv_p[:, 1], mv_p[:, 2], mv_p[:, 3]],
+         stay_p, mv_p[:, 0], mv_p[:, 1], mv_p[:, 2], mv_p[:, 3]],
         cpar_g, p.mxu, kn="gpar",
     )
+    # the parent's read id needs no gather: candidates are created in
+    # slot order, so they are read-contiguous with boundaries cb
+    (crid,) = _seg_broadcast([jnp.arange(B, dtype=i32)], cb, SC)
     crid = jnp.where(cval, crid, np.int32(B))
     crid_g = jnp.minimum(crid, np.int32(B - 1))
 
@@ -724,7 +767,8 @@ def _pool_event_step(idx, p: PoolParams, st, ev, ev_on):
     vcum_pad = jnp.concatenate([vcum, (vcum[-1] + cv_fm[-1])[None]])
     cb_c = jnp.minimum(cb, np.int32(SC))
     vbase_b = _flat_take(vcum_pad, cb_c, False)  # [B+1]
-    wvalid = vcum - _flat_take(vbase_b[:-1], crid_g, p.mxu)
+    (wv_base,) = _seg_broadcast([vbase_b[:-1]], cb, SC)
+    wvalid = vcum - wv_base
     cvalid = cv_fm & (wvalid < PC)
     n_valid_r = vbase_b[1:] - vbase_b[:-1]  # per-read FM-valid totals
     # read boundaries in SORTED-candidate space: the sort is keyed by
@@ -760,7 +804,7 @@ def _pool_event_step(idx, p: PoolParams, st, ev, ev_on):
     nxt_rid = jnp.concatenate([rid[1:], jnp.full((1,), B, i32)])
     is_last = nxt_rid != rid
     # one slot-space broadcast for the candidate-segment scalars
-    seg_end_c, tot_valid_slot = _flat_pack([cb[1:], n_valid_r], ridc, p.mxu)
+    seg_end_c, tot_valid_slot = _seg_broadcast([cb[1:], n_valid_r], off, S)
     wv_pad = jnp.concatenate([wvalid, jnp.zeros((1,), i32)])
 
     # within-read valid count at a global candidate position (clamped to
@@ -1140,11 +1184,11 @@ def _pool_event_step(idx, p: PoolParams, st, ev, ev_on):
     j_out = jax.lax.iota(i32, S)
     bj = jnp.clip(_bucket_of(off_new[:-1], S), np.int32(0), np.int32(B - 1))
     keep = j_out < jnp.minimum(total_keep, np.int32(S))
-    # per-slot read scalars in one broadcast
-    g_off, g_nd, g_hgk, g_fk, g_ckst, g_hgst, g_old = _flat_pack(
+    # per-slot read scalars broadcast onto the off_new segments
+    g_off, g_nd, g_hgk, g_fk, g_ckst, g_hgst, g_old = _seg_broadcast(
         [off_new[:-1], nondup_r, hgk_r, fk_r, nd_b[:-1], hg_end_b[:-1],
          off[:-1]],
-        bj, p.mxu,
+        off_new, S,
     )
     r_in = j_out - g_off
     cls_A = keep & (r_in < g_nd)
