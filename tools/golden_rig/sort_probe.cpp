@@ -6,6 +6,12 @@
 //
 // stdin:  n, then n lines "start end prob"
 // stdout: n input-indices in sorted order
+//
+// argv[1] == "partial": use std::partial_sort(begin, end, end) instead —
+// the __heap_select + __sort_heap path introsort falls back to when its
+// depth limit trips, so the replica's _depth_limit=0 branch can be
+// differential-tested too (its tie permutation differs from the
+// quicksort path and is otherwise never exercised by random cases).
 #include <algorithm>
 #include <cstdint>
 #include <cstdio>
@@ -23,7 +29,7 @@ static bool operator<(const Rec &p1, const Rec &p2) {
            (p1.start == p2.start && p1.end == p2.end && p1.prob < p2.prob);
 }
 
-int main() {
+int main(int argc, char **argv) {
     int n;
     if (scanf("%d", &n) != 1) return 1;
     std::vector<Rec> v(n);
@@ -33,7 +39,10 @@ int main() {
             return 1;
         v[i].idx = i;
     }
-    std::sort(v.begin(), v.end());
+    if (argc > 1 && argv[1][0] == 'p')
+        std::partial_sort(v.begin(), v.end(), v.end());
+    else
+        std::sort(v.begin(), v.end());
     for (int i = 0; i < n; i++) printf("%d\n", v[i].idx);
     return 0;
 }
