@@ -226,8 +226,16 @@ def main():
     def warm_drains(mp, min_b):
         d = mp
         while d.eng.params.B >= min_b:
-            d = d._get_drain()
-            warm(d)
+            nd = d._get_drain()
+            warm(nd)
+            if hasattr(d.eng, "migrate"):
+                # compile the drain-handoff migration program too —
+                # otherwise its first use runs inside the timed window
+                st = d.eng.fresh_state()
+                sel = np.full(nd.eng.params.B, -1, np.int32)
+                mig = d.eng.migrate(st, sel, nd.eng)
+                _jax.block_until_ready(mig["evt_i"])
+            d = nd
 
     if conf.engine.drain_shrink:
         # the whole entry chain: BENCH_r04 telemetry caught drain_B16's

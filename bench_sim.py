@@ -152,6 +152,18 @@ def main():
         a = np.asarray(a)
         return [round(float(np.percentile(a, p)), 3) for p in (50, 90, 99)]
 
+    # ovf give-up cost (VERDICT r4 #4): a pool-cut read ends unmapped
+    # and KEEPS SEQUENCING with unknown status — in deplete mode the
+    # lost opportunity is the pore time it would have freed had it been
+    # decidable.  Price it against the total pore budget of the run.
+    sig_len = {m[0]: len(d[f"sig_{i}"]) for i, m in enumerate(meta[:N_READS])}
+    chunk_len = int(conf.reads.sample_rate * conf.reads.chunk_time)
+    ovf_giveups = [g for g in rt.giveups if g[1]]
+    waste = sum(
+        max(0, sig_len.get(rid, 0) - n_ch_ * chunk_len)
+        for rid, _, n_ch_ in ovf_giveups
+    )
+    pore_budget = N_CH * sim_elapsed * conf.reads.sample_rate
     rtf = sim_elapsed / wall if wall else 0.0
     print(json.dumps({
         "metric": f"realtime_factor_chip_{N_CH}ch_sim",
@@ -167,6 +179,16 @@ def main():
             "decisions_per_sim_min": round(n_lines / max(sim_elapsed, 1e-9) * 60, 1),
             "n_ej": len(tags["ej"]), "n_kp": len(tags["kp"]),
             "n_mx": len(tags["mx"]), "n_en": len(tags["en"]),
+            # give-ups: total not-success ends; ovf = the pool-cut
+            # valve specifically; waste = samples those reads go on
+            # sequencing with unknown status, as a fraction of the
+            # run's total pore sample budget
+            "n_giveup": len(rt.giveups),
+            "n_giveup_ovf": len(ovf_giveups),
+            "giveup_ovf_waste_samples": int(waste),
+            "giveup_ovf_waste_pore_frac": round(
+                waste / max(pore_budget, 1), 5
+            ),
             "eject_latency_s_p50_p90_p99": pct(tags["ej"]),
             "keep_latency_s_p50_p90_p99": pct(tags["kp"]),
             "mt_batchshared_ms_p50_p90_p99": pct(mts),  # advance wall is shared by all active channels (mapper.py)

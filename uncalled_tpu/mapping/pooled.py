@@ -101,6 +101,10 @@ class PoolParams:
     # bit-exact to the XLA stages they replace (tests/test_stepkern.py)
     stepkern: bool = False
     stepkern_interpret: bool = False  # CPU tests: pallas interpret mode
+    # bitonic merge levels as VMEM Pallas kernels (ops/sortkern.py; TPU
+    # default): one call per merge level runs all stride>=C XOR passes
+    # on the VMEM-resident chunk — bit-exact (tests/test_sortkern.py)
+    sortkern: bool = False
     sampled_sa: bool = False
     sa_intv: int = 32
 
@@ -288,7 +292,7 @@ def _f32_from_sort_key(k):
     return jax.lax.bitcast_convert_type(mono, jnp.float32)
 
 
-def _sort1d_bitonic(keys):
+def _sort1d_bitonic(keys, kernel=False, kernel_interpret=False):
     """Flat ascending sort of i32 key tuples via hybrid bitonic merge.
 
     A [1, N] lax.sort has no row parallelism on TPU; this sorts [G, C]
@@ -350,6 +354,14 @@ def _sort1d_bitonic(keys):
     k_lv = 2 * W0
     while k_lv <= NP:
         s = k_lv // 2
+        if kernel and s >= C:
+            # all of this level's XOR passes in one VMEM kernel call
+            from ..ops.sortkern import merge_level
+
+            ks = list(
+                merge_level(tuple(ks), k_lv, C, interpret=kernel_interpret)
+            )
+            s = C // 2  # level handled; skip the XLA pass loop
         while s >= C:
             # XOR pass: partner of i is i^s; within the [NP/(2s), 2, s]
             # reshape the a/b halves pair elementwise, and the block
@@ -863,7 +875,8 @@ def _pool_event_step(idx, p: PoolParams, st, ev, ev_on):
         # (see oracle.py map_read's sort comment); dedup keeps the run's
         # latest-created member, matching std::stable_sort byte-for-byte
         rks, k1s, k2s, k3i, perm = _sort1d_bitonic(
-            (rid_key, k1, k2, _f32_sort_key(seedprob), iota_c)
+            (rid_key, k1, k2, _f32_sort_key(seedprob), iota_c),
+            kernel=p.sortkern, kernel_interpret=p.stepkern_interpret,
         )
         k3s = _f32_from_sort_key(k3i)
     else:
@@ -1486,6 +1499,7 @@ class PooledEngine:
         over.setdefault("sort_mode", "bitonic" if on_tpu else "flat")
         over.setdefault("tracker_kernel", on_tpu)
         over.setdefault("stepkern", on_tpu)
+        over.setdefault("sortkern", on_tpu)
         # genome-scaled pool caps (tools/demand_scale.py, 100 Mb Markov
         # genome, 256 reads): per-read seed-row demand roughly doubles
         # (max 1898 vs 948 at 4.7 Mb; eject_why bit 16 hit 72/256 reads

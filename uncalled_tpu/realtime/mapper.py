@@ -59,6 +59,12 @@ class RealtimeMapper:
         self.channels = [_Channel() for _ in range(n_ch)]
         self.T = self.conf.engine.evt_block
         self._pending: list = []  # ended-by-replacement reads awaiting emit
+        # give-up accounting for the ovf valve (VERDICT r4 #4): every
+        # not-success end records (read_id, ovf_cut?, n_chunks fed) so
+        # the sim bench can price the valve's enrichment cost (a cut
+        # read keeps sequencing with unknown status instead of being
+        # ejected — the reference never drops a read for memory)
+        self.giveups: list = []
 
     def _start_read(self, c: int, chunk, now: float):
         ch = self.channels[c]
@@ -167,6 +173,9 @@ class RealtimeMapper:
             paf = self._make_paf(c, ch, ro, success)
             if not success:
                 paf.ended = True
+                self.giveups.append(
+                    (ch.read_id, bool(ro["ovf"][c]), ch.n_chunks)
+                )
             ch.done_reported = True
             out.append((c + 1, ch.number, paf))
         return out
