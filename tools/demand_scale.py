@@ -58,6 +58,16 @@ def ensure_assets():
         fmi.save(prefix)
         print(f"# index: {time.time()-t0:.0f}s", file=sys.stderr, flush=True)
         build_uncl(fmi, prefix)
+    if not os.path.exists(prefix + ".bwt"):
+        # BWA-compat files so the reference rig binary can map the same
+        # reads (rig byte-agreement at 100 Mb, VERDICT r4 #6)
+        from uncalled_tpu.index.bwa_compat import write_bwa_index
+        from uncalled_tpu.index.fmindex import load_index
+
+        t0 = time.time()
+        write_bwa_index(load_index(prefix), prefix)
+        print(f"# bwa-compat: {time.time()-t0:.0f}s", file=sys.stderr,
+              flush=True)
     reads_npz = os.path.join(DATA, f"dreads_{REF_BP}_{N_READS}.npz")
     if not os.path.exists(reads_npz):
         from uncalled_tpu.testing.simulate import simulate_reads
@@ -119,14 +129,57 @@ def main():
 
     t0 = time.time()
     n_mapped = n_correct = 0
+    ours = {}
+    mismapped = []
     for paf in bm.map_reads(reads):
+        ours[paf.rd_name] = paf.to_line()
         m = truth.get(paf.rd_name)
         if paf.is_mapped and m:
             n_mapped += 1
             if (m[2] - 500 <= paf.rf_st <= m[3] + 500
                     and paf.fwd == m[4]):
                 n_correct += 1
+            else:
+                mismapped.append(paf.rd_name)
     wall = time.time() - t0
+
+    # rig byte-agreement on a 64-read sample + every mismapped read
+    # (the bench.py recipe; a rig crash counts as disagreement)
+    rig_agree = None
+    rig_disagree = []
+    rig_bin = os.path.join(REPO, "tools", "golden_rig", "golden_map")
+    if int(os.environ.get("DS_RIG", "1")) and os.path.exists(rig_bin):
+        import subprocess
+        import tempfile
+
+        sample = {
+            r.id for r in np.random.default_rng(7).choice(
+                np.asarray(reads, object),
+                size=min(64, len(reads)), replace=False,
+            )
+        } | set(mismapped)
+        same = total = 0
+        with tempfile.TemporaryDirectory() as td:
+            for r in [r for r in reads if r.id in sample]:
+                sigf = os.path.join(td, "sig.f32")
+                r.signal.astype("<f4").tofile(sigf)
+                out = subprocess.run(
+                    [rig_bin, prefix, sigf, r.id],
+                    capture_output=True, text=True, timeout=900,
+                )
+                total += 1
+                if out.returncode != 0 or not out.stdout.strip():
+                    rig_disagree.append(r.id)
+                    continue
+                line = out.stdout.strip().splitlines()[-1]
+                line = "\t".join(
+                    t for t in line.split("\t") if not t.startswith("mt:")
+                )
+                if line == ours.get(r.id):
+                    same += 1
+                else:
+                    rig_disagree.append(r.id)
+        rig_agree = round(same / max(total, 1), 4)
 
     dmv = np.array(list(bm.demand.values())) if bm.demand else np.zeros((0, 4))
     rungs = []
@@ -187,6 +240,9 @@ def main():
             "oracle_sample_reads": min(N_ORACLE, len(reads)),
             "cluster_demand_per_event_p50_p99_max": pcts(cl_all),
             "cluster_demand_read_max_p50_p99_max": pcts(cl_max),
+            **({"rig_agree": rig_agree} if rig_agree is not None else {}),
+            **({"rig_disagree_ids": rig_disagree[:16]}
+               if rig_disagree else {}),
         },
     }), flush=True)
 

@@ -512,9 +512,11 @@ def _bucket_of(starts, w_out):
     return jnp.cumsum(hist[:w_out], dtype=i32) - 1
 
 
-def _seg_broadcast(fields, off, w_out):
-    """Broadcast per-read values onto their contiguous slot segments:
-    out_f[j] = f[max {b : off[b] <= j}] for each field f [B].
+def _seg_broadcast(fields, starts, w_out):
+    """Broadcast per-segment values onto contiguous ranges:
+    out_f[j] = f[max {g : starts[g] <= j}] for each field f [G]
+    (``starts`` sorted, starts[0] == 0; an extra trailing entry is
+    ignored so [B+1] offset vectors can be passed whole).
 
     Replaces a ``_flat_pack(fields, owner)`` row gather: even from a
     tiny VMEM table, a [w_out]-index gather costs ~1.5 ns/idx plus a
@@ -528,7 +530,9 @@ def _seg_broadcast(fields, off, w_out):
     fields only (cumsum must be exact)."""
     jnp = _jnp()
     i32 = jnp.int32
-    offc = jnp.minimum(off[:-1], np.int32(w_out))  # [B] segment starts
+    if starts.shape[0] == fields[0].shape[0] + 1:
+        starts = starts[:-1]
+    offc = jnp.minimum(starts, np.int32(w_out))  # [G] segment starts
     out = []
     for f in fields:
         kind = "bool" if f.dtype == jnp.bool_ else None
@@ -624,9 +628,15 @@ def _compact1d(valid, w_out):
     m = _CompactMap(valid)
     C, G = m._C, m._G
     j = jax.lax.iota(i32, w_out)
-    # row of output slot j: last g with start[g] <= j (rows are disjoint)
-    r = jnp.clip(_bucket_of(m._start, w_out), np.int32(0), np.int32(G - 1))
-    within = j - _flat_take(m._start, r, True)
+    # row of output slot j: last g with start[g] <= j (rows are
+    # disjoint).  Both r and start[r] are step functions of j, so the
+    # telescoping broadcast replaces the bucket table AND the start
+    # gather (the latter measured 190 us at w_out=SC — trace r5).
+    r, start_r = _seg_broadcast(
+        [jax.lax.iota(i32, G), m._start], m._start, w_out
+    )
+    r = jnp.clip(r, np.int32(0), np.int32(G - 1))
+    within = j - start_r
     src_in_row = _flat_take(
         m._skey, r * np.int32(C) + jnp.minimum(within, np.int32(C - 1)),
         True,

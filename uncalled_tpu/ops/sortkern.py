@@ -85,8 +85,10 @@ def _level_kernel(*refs, NK, k_lv, C):
         b = [v[:, sr:, :] for v in vs]
         lt_ab, eq_ab = _lex_lt_eq(a, b)
         # ascending: swap iff b < a == !(a<b | a==b); descending: a < b.
-        # Ties never swap in either direction.
-        swap = jnp.where(asc, ~(lt_ab | eq_ab), lt_ab)
+        # Ties never swap in either direction.  Boolean algebra, not
+        # jnp.where: Mosaic cannot legalize select_n over i1 operands
+        # (docs/PERF.md tracker-kernel lessons).
+        swap = (asc & ~(lt_ab | eq_ab)) | (~asc & lt_ab)
         vals = [
             jnp.concatenate(
                 [jnp.where(swap, y, x), jnp.where(swap, x, y)], axis=1
