@@ -267,9 +267,9 @@ def main():
 
         blocks_log = tele.setdefault(tag + ":blocks", [])
 
-        def adv(state, means_, on_):
+        def adv(state, means_, on_, **kw):
             t0_ = time.time()
-            s = oa(state, means_, on_)
+            s = oa(state, means_, on_, **kw)
             e = tele.setdefault(tag, [0, 0.0])
             e[0] += 1
             e[1] += time.time() - t0_
@@ -295,18 +295,21 @@ def main():
         mp.eng.readout_get = rog
 
     _patch(bm, "rung0")
-    # mappers already built by the warm block
-    _d = bm
-    while _d._drain_mapper is not None:
-        _d = _d._drain_mapper
-        _patch(_d, f"drain_B{_d.eng.params.B}")
+    # mappers already built by the warm block — walk every rung AND its
+    # drain chain (r5: tier drains were unpatched, so their device time
+    # hid in the unattributed wall)
     _m = bm
-    while _m._next_mapper is not None:
-        _m = _m._next_mapper
+    while _m is not None:
         _tag = f"rung{_m._rung}" + (
             f"t{_m._pool_tier}" if _m._pool_tier else ""
         )
-        _patch(_m, _tag)
+        if _m is not bm:
+            _patch(_m, _tag)
+        _d = _m
+        while _d._drain_mapper is not None:
+            _d = _d._drain_mapper
+            _patch(_d, f"{_tag}:drain_B{_d.eng.params.B}")
+        _m = _m._next_mapper
     _og_drain = BatchMapper._get_drain
     _og_next = BatchMapper._get_next
 
@@ -366,9 +369,13 @@ def main():
 
     pool_hw = {}
 
+    host_ovh = {"migrate_s": 0.0, "refill_s": 0.0}
+
     def _walk_util(m, tag):
         if m is None:
             return
+        host_ovh["migrate_s"] += m.t_migrate
+        host_ovh["refill_s"] += m.t_refill
         if m.disp_events:
             util[tag] = round(m.useful_events / m.disp_events, 3)
         if m.pool_hw.any():
@@ -537,6 +544,7 @@ def main():
         # 4=full-source cap, 8=path pool, 16=row caps
         "eject_why": {str(k): v for k, v in why_hist.items()},
         "slot_utilization": util,
+        "host_overheads_s": {k: round(v, 2) for k, v in host_ovh.items()},
         "pool_hw": pool_hw,
         "eject_ids": eject_ids[:24],
         "mapper_blocks": {

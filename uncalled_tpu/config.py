@@ -177,6 +177,11 @@ class EngineParams:
     # remain, restart them on a B/8-wide mapper (step cost ~ B) instead
     # of paying full-width steps for a near-empty batch
     drain_shrink: bool = True
+    # in-scan slot handoff (pooled engine): decided slots latch their
+    # result and immediately restart on a standby read, recovering the
+    # mid-block + pipeline slot-events every turnover wastes (~38% of
+    # rung0 dispatch measured at r5).  Byte-parity preserving.
+    slot_handoff: bool = True
     # drain chain shrink factor: B -> B/div per stage.  div=2 fires the
     # first drain at pending <= B/2 (the declining-occupancy tail at
     # 45-90% empty slots was ~4 s of the measured bench wall; the /4

@@ -104,6 +104,11 @@ class BatchMapper:
         # harvest — their ratio is the measured slot utilization
         self.disp_events = 0
         self.useful_events = 0
+        # host-overhead attribution (seconds): drain-handoff migrations
+        # (incl. their device syncs) and refill/DSP walls — the bench's
+        # wall minus device waits lives here
+        self.t_migrate = 0.0
+        self.t_refill = 0.0
         # pool-global demand high-water (pooled engines only): max over
         # all events of [flags, valid, keep, entries, rows] WANT totals —
         # the sizing evidence for SC/S/RE/RT (state["dm_pool"])
@@ -466,12 +471,47 @@ class BatchMapper:
     def _run(self, it, slots, state, pending, input_done, ovf_sink):
         """Core slot loop.  ``ovf_sink`` non-None routes budget ejects to
         the caller's list (drain mappers hand ejects UP so only the entry
-        mapper's ladder instances — and their compiled programs — exist)."""
+        mapper's ladder instances — and their compiled programs — exist).
+
+        Slot-handoff protocol (PoolParams.handoff): each occupied slot
+        carries a STANDBY read whose 0-based [0, 2T) event window rides
+        every advance; when the primary decides mid-scan the DEVICE
+        latches its result and restarts the slot as the standby read
+        (pooled._pool_event_step).  The host sees the switch one block
+        late (pipelining), emits the latched PAF, makes the standby the
+        primary lane at exactly fed = evt_i + T (the in-flight block's
+        standby consumption is deterministic), and arms the next read.
+        This removes the ~T/2 mid-block + ~T pipeline slot-events every
+        read turnover used to waste (61% rung0 utilization, BENCH r5).
+        """
         B, T = self.eng.params.B, self.T
+        ho = bool(getattr(self.eng.params, "handoff", False))
+        if ho:
+            from .pooled import LATCH_KEYS
+        standby: dict = {}  # b -> armed standby _Slot
+        promote_pending = np.zeros(B, bool)
+        ready: list = []  # (b, slot): standbys promoted the classic way
 
         def refill(state):
             nonlocal pending, input_done
+            _t0 = __import__("time").time()
+            try:
+                return _refill(state)
+            finally:
+                self.t_refill += __import__("time").time() - _t0
+
+        def _refill(state):
+            nonlocal pending, input_done
             mask = np.zeros(B, bool)
+            # standbys whose primary never switched (exhausted/ejected
+            # reads) enter their slot the classic way: fresh reset, any
+            # stray device-side switch state is wiped by the same reset
+            while ready:
+                b, s = ready.pop()
+                assert slots[b] is None
+                s.t_start = __import__("time").time()
+                slots[b] = s
+                mask[b] = True  # pending was counted at standby attach
             incoming = []
             for b in range(B):
                 if slots[b] is None:
@@ -481,7 +521,9 @@ class BatchMapper:
                         input_done = True
                         break
             if not incoming:
-                return state
+                if ho:
+                    state = _arm_standbys(state)
+                return self.eng.reset_slots(state, mask) if mask.any() else state
             if self.conf.engine.device_dsp and len(incoming) > 1:
                 new_slots = self._prepare_wave([r for _, r in incoming])
             elif len(incoming) > 3:
@@ -505,7 +547,48 @@ class BatchMapper:
                 slots[b] = s
                 mask[b] = True
                 pending += 1
+            if ho:
+                state = _arm_standbys(state)
             return self.eng.reset_slots(state, mask)
+
+        def _arm_standbys(state):
+            """Attach the next queued read to every occupied slot that
+            lacks one (host-side; the device sees it via the sb window
+            at the next dispatch)."""
+            nonlocal pending, input_done
+            want = [
+                b for b in range(B)
+                if slots[b] is not None and b not in standby
+            ]
+            incoming = []
+            for b in want:
+                if input_done:
+                    break
+                try:
+                    incoming.append((b, next(it)))
+                except StopIteration:
+                    input_done = True
+                    break
+            if not incoming:
+                return state
+            if len(incoming) > 3:
+                from concurrent.futures import ThreadPoolExecutor
+
+                if self._dsp_pool is None:
+                    self._dsp_pool = ThreadPoolExecutor(max_workers=8)
+                prepped = list(
+                    self._dsp_pool.map(
+                        self._prepare, [r for _, r in incoming]
+                    )
+                )
+            else:
+                prepped = [self._prepare(r) for _, r in incoming]
+            now = __import__("time").time()
+            for (b, _), s in zip(incoming, prepped):
+                s.t_start = now
+                standby[b] = s
+                pending += 1
+            return state
 
         remap = (
             self.conf.engine.remap_wide
@@ -539,7 +622,12 @@ class BatchMapper:
         pend = None
         while pending or pend is not None:
             thresh = max(4, B // self.conf.engine.drain_div)
-            want_drain = can_drain and input_done and pending <= thresh
+            want_drain = (
+                can_drain and input_done and pending <= thresh
+                # handoff state must be fully settled before a migration
+                # (standby windows and unpromoted switches don't travel)
+                and not standby and not promote_pending.any() and not ready
+            )
             if pend is None and pending and want_drain:
                 # straggler drain (pipeline empty, state fully settled):
                 # continue the few remaining reads on a B/4-wide mapper
@@ -547,7 +635,9 @@ class BatchMapper:
                 # when pooled (no event re-burn), restart otherwise
                 dm = self._get_drain()
                 keep = [b for b in range(B) if slots[b] is not None]
+                _tm = __import__("time").time()
                 mig = self._try_migrate(dm, state, keep)
+                self.t_migrate += __import__("time").time() - _tm
                 if mig == "nofit" and (
                     self._pool_tier > 0
                     or pending > max(
@@ -587,7 +677,23 @@ class BatchMapper:
                     on[b, : len(nxt)] = True
                     s.fed += len(nxt)
                     snap.append((b, s, s.fed))
-                state = self.eng.advance(state, means, on)
+                if ho and (standby or promote_pending.any()):
+                    W = 2 * T
+                    sb_m = np.zeros((B, W), np.float32)
+                    sb_o = np.zeros((B, W), bool)
+                    armed = np.zeros(B, bool)
+                    for b, ss in standby.items():
+                        w = ss.means[:W]
+                        sb_m[b, : len(w)] = w
+                        sb_o[b, : len(w)] = True
+                        armed[b] = True
+                    prom = promote_pending.copy()
+                    promote_pending[:] = False
+                    state = self.eng.advance(
+                        state, means, on, sb=(sb_m, sb_o, armed, prom)
+                    )
+                else:
+                    state = self.eng.advance(state, means, on)
                 self.disp_events += B * T
                 new_pend = (self.eng.readout_start(state), snap)
             else:
@@ -597,6 +703,37 @@ class BatchMapper:
                 for b, s, fed_after in pend[1]:
                     if slots[b] is not s:
                         continue  # harvested at an earlier block
+                    if ho and b in standby and bool(ro["sw"][b]):
+                        # the device switched this slot to its standby:
+                        # emit the latched primary and promote the
+                        # standby to the primary lane at the exact
+                        # deterministic offset (evt_i at readout + T
+                        # consumed during the in-flight block)
+                        lt = {k: ro["lt_" + k] for k in LATCH_KEYS}
+                        self.useful_events += int(lt["evt_i"][b])
+                        dm = tuple(
+                            int(lt["dm_" + k2][b])
+                            for k2 in ("flags", "valid", "paths", "rows",
+                                       "cl")
+                        )
+                        self.demand[s.read.id] = dm
+                        if remap and lt["ovf"][b]:
+                            self.ovf_why[s.read.id] = int(lt["ovf_why"][b])
+                            overflowed.append(
+                                (s.read, int(lt["ovf_why"][b]), dm)
+                            )
+                        else:
+                            if lt["ovf"][b]:
+                                self.ovf_why[s.read.id] = int(
+                                    lt["ovf_why"][b]
+                                )
+                            yield self._finalize(s, lt, b)
+                        ss = standby.pop(b)
+                        ss.fed = min(int(ro["evt_i"][b]) + T, len(ss.means))
+                        slots[b] = ss
+                        promote_pending[b] = True
+                        pending -= 1
+                        continue  # the promoted read reports next block
                     exhausted = fed_after >= len(s.means)
                     # EARLY EJECT: once the sticky overflow flag is set
                     # this rung's result will be discarded in favor of a
@@ -614,6 +751,9 @@ class BatchMapper:
                         self.useful_events += int(ro["evt_i"][b])
                         slots[b] = None
                         pending -= 1
+                        if ho and b in standby:
+                            # unswitched standby takes the slot classically
+                            ready.append((b, standby.pop(b)))
                     elif ro["done"][b] or exhausted:
                         if ro["ovf"][b]:
                             self.ovf_why[s.read.id] = int(ro["ovf_why"][b])
@@ -626,6 +766,8 @@ class BatchMapper:
                         yield self._finalize(s, ro, b)
                         slots[b] = None
                         pending -= 1
+                        if ho and b in standby:
+                            ready.append((b, standby.pop(b)))
                 # refill resets slots on the LATEST dispatched state, so
                 # new reads join the block after the in-flight one
                 state = refill(state)

@@ -105,6 +105,14 @@ class PoolParams:
     # default): one call per merge level runs all stride>=C XOR passes
     # on the VMEM-resident chunk — bit-exact (tests/test_sortkern.py)
     sortkern: bool = False
+    # in-scan slot handoff: a slot whose read decides mid-block latches
+    # its result (lt_* fields) and immediately restarts on a host-armed
+    # STANDBY read's event stream, recovering the ~T/2 mid-block +
+    # ~T pipeline slot-events every read turnover wastes (measured 61%
+    # rung0 slot utilization, BENCH r5).  Byte-parity-preserving: the
+    # in-step reset is exactly reset_pool_rows' recipe.  See
+    # batch.py's standby protocol for the host side.
+    handoff: bool = False
     sampled_sa: bool = False
     sa_intv: int = 32
 
@@ -113,6 +121,7 @@ class PoolParams:
         mp, st, en = conf.mapper, conf.seed_tracker, conf.engine
         kw = dict(
             B=en.batch_reads,
+            handoff=getattr(en, "slot_handoff", False),
             PC=mp.max_paths,
             seed_len=mp.seed_len,
             min_rep_len=mp.min_rep_len,
@@ -137,6 +146,26 @@ class PoolParams:
         if "RT" not in over:
             kw["RT"] = max(6144, 24 * kw["B"])
         return PoolParams(**kw)
+
+
+# readout fields a slot handoff latches for the finished read (all of
+# MapEngine.READOUT_KEYS except the live lifecycle flag "done")
+LATCH_KEYS = (
+    "success", "dec_evt", "evt_i", "ovf", "ovf_why",
+    "dm_flags", "dm_valid", "dm_paths", "dm_rows", "dm_cl",
+    "mm_len", "mm_ref_st", "mm_r1", "mm_r2e", "mm_evt_st", "mm_evt_en",
+)
+
+# per-read fields the in-scan switch resets for the standby read —
+# exactly reset_pool_rows' recipe (fresh per-read scalars/tables,
+# n_paths kept: the read still owns its emptied slots)
+_SWITCH_RESET = (
+    "cl_valid", "cl_count", "cl_ref_st", "cl_r1", "cl_r2e", "cl_evt_st",
+    "cl_evt_en", "cl_total", "len_sum", "n_cl", "mm_len", "mm_ref_st",
+    "mm_r1", "mm_r2e", "mm_evt_st", "mm_evt_en", "evt_i", "success",
+    "dec_evt", "ovf", "ovf_why", "dm_flags", "dm_valid", "dm_paths",
+    "dm_rows", "dm_cl",
+)
 
 
 def make_pool_state(p: PoolParams):
@@ -194,6 +223,13 @@ def make_pool_state(p: PoolParams):
         # entries(vs RE), rows(vs RT)].  Per-read dm_* maxima cannot
         # size the shared pools (transient per-read peaks amortize).
         "dm_pool": z(5),
+        # slot-handoff latch (PoolParams.handoff): sw marks a slot that
+        # switched to its standby read mid-scan; lt_* hold the finished
+        # read's readout fields until the host harvests + promotes.
+        "sw": jnp.zeros((B,), bool),
+        **{"lt_" + k: (jnp.zeros((B,), bool) if k in ("success", "ovf")
+                       else z(B))
+           for k in LATCH_KEYS},
     }
 
 
@@ -312,7 +348,11 @@ def _sort1d_bitonic(keys, kernel=False, kernel_interpret=False):
     jnp = _jnp()
     i32 = jnp.int32
     N = keys[0].shape[0]
-    C = 1024  # finisher row width
+    # finisher row width: the merge kernel absorbs every stride >= C as
+    # near-free VMEM passes (strides >= 128 are sublane-expressible), so
+    # with the kernel on the finishers shrink to width-128 lax.sorts
+    # (network depth ~ log^2 W: measured 92 us at W=1024 vs ~45 at 128)
+    C = 128 if kernel else 1024
     C0 = 8192  # initial sorted-run length
     NP = 1 << max(int(np.ceil(np.log2(max(N, C0)))), 0)
     MAXV = np.int32(INT32_MAX)
@@ -655,7 +695,7 @@ def _cdiv_int(a: int, b: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _pool_event_step(idx, p: PoolParams, st, ev, ev_on):
+def _pool_event_step(idx, p: PoolParams, st, ev, ev_on, sb=None):
     import jax
 
     jnp = _jnp()
@@ -668,6 +708,43 @@ def _pool_event_step(idx, p: PoolParams, st, ev, ev_on):
     RINGi = np.int32(RING)
     PC = p.PC
     n = idx["n"]
+
+    swm = None
+    if p.handoff and sb is not None:
+        # ---- in-scan slot handoff (PoolParams.handoff) ---------------
+        # A done slot with an armed standby latches its readout fields
+        # and restarts AS the standby read this very event: per-read
+        # state resets exactly like reset_pool_rows (n_paths kept, the
+        # read's pool rows emptied via q_total below), and the event
+        # source flips to the 0-based standby stream indexed by the
+        # post-reset evt_i.  The host's standby window covers [0, 2T)
+        # — a switched read consumes at most 2T events before the host
+        # learns of the switch (one block of pipelining) and promotes
+        # it to the primary lane (batch.py standby protocol).
+        sb_m, sb_o, sb_armed = sb
+        W = sb_m.shape[1]
+        swm = st["done"] & sb_armed & (~st["sw"])
+        use_sb = st["sw"] | swm
+        rel = jnp.where(swm, np.int32(0),
+                        jnp.clip(st["evt_i"], np.int32(0), np.int32(W - 1)))
+        sb_ev = jnp.take_along_axis(sb_m, rel[:, None], axis=1)[:, 0]
+        sb_ok = (
+            jnp.take_along_axis(sb_o, rel[:, None], axis=1)[:, 0]
+            & (jnp.where(swm, np.int32(0), st["evt_i"]) < np.int32(W))
+        )
+        ev = jnp.where(use_sb, sb_ev, ev)
+        ev_on = jnp.where(use_sb, sb_ok, ev_on)
+        st = dict(st)
+        for k in LATCH_KEYS:
+            st["lt_" + k] = jnp.where(swm, st[k], st["lt_" + k])
+        st["sw"] = use_sb
+        for k in _SWITCH_RESET:
+            v = st[k]
+            m = swm
+            while m.ndim < v.ndim:
+                m = m[..., None]
+            st[k] = jnp.where(m, jnp.zeros((), v.dtype), v)
+        st["done"] = st["done"] & (~swm)
 
     alive = (~st["done"]) & ev_on  # [B]
     if "probs" in _KNOCKOUT:
@@ -684,6 +761,13 @@ def _pool_event_step(idx, p: PoolParams, st, ev, ev_on):
     off = jnp.concatenate(
         [jnp.zeros((1,), i32), jnp.cumsum(st["n_paths"], dtype=i32)]
     )  # [B+1]
+    if swm is not None:
+        # empty the switching reads' pool rows in place (q_total=0 kills
+        # their flags/carry; the assembly drops them) — the
+        # reset_pool_rows recipe, in-scan
+        (sw_slot,) = _seg_broadcast([swm], off, S)
+        st["q_total"] = jnp.where(sw_slot & owned, np.int32(0),
+                                  st["q_total"])
     # one slot-space broadcast serves all step-start read scalars
     # (telescoping diff+cumsum: ~20x cheaper than the row gather at S
     # indices, see _seg_broadcast)
@@ -797,7 +881,8 @@ def _pool_event_step(idx, p: PoolParams, st, ev, ev_on):
     # (rid if cvalid else B, ...), so read b's sorted segment starts at
     # the number of budget-kept valid candidates before it — NOT at the
     # flag-space boundary cb (a global sort forgives constant within-read
-    # shifts; absolute position arithmetic does not)
+    # shifts; absolute position arithmetic does not).
+    # NOTE vbase_b cannot merge into this take: cvalid depends on it.
     ccum2 = jnp.cumsum(cvalid, dtype=i32) - cvalid
     ccum2_pad = jnp.concatenate([ccum2, (ccum2[-1] + cvalid[-1])[None]])
     svb = _flat_take(ccum2_pad, cb_c, False)  # [B+1]
@@ -1483,13 +1568,39 @@ def migrate_pool_state(src_p: PoolParams, dst_p: PoolParams, state, sel):
     return out
 
 
-def pool_advance_block(idx, p: PoolParams, state, means, on):
-    """Advance all read slots through T events: means/on are [B, T]."""
+def pool_advance_block(idx, p: PoolParams, state, means, on, sb=None):
+    """Advance all read slots through T events: means/on are [B, T].
+
+    With ``p.handoff``, ``sb`` = (sb_means [B, W], sb_on [B, W],
+    sb_armed [B], promote [B]): the standby streams (0-based windows of
+    the slots' next reads), which slots have one armed, and which
+    switched slots the host has promoted to the primary lane (clears
+    the sw latch before the scan)."""
     import jax
 
-    def step(st, inp):
-        ev, ev_on = inp
-        return _pool_event_step(idx, p, st, ev, ev_on), None
+    jnp = _jnp()
+    if p.handoff:
+        if sb is None:
+            B, T = means.shape
+            sb = (
+                jnp.zeros((B, 2 * T), jnp.float32),
+                jnp.zeros((B, 2 * T), bool),
+                jnp.zeros((B,), bool),
+                jnp.zeros((B,), bool),
+            )
+        sb_m, sb_o, sb_armed, promote = sb
+        state = dict(state)
+        state["sw"] = state["sw"] & (~promote)
+
+        def step(st, inp):
+            ev, ev_on = inp
+            return _pool_event_step(
+                idx, p, st, ev, ev_on, sb=(sb_m, sb_o, sb_armed)
+            ), None
+    else:
+        def step(st, inp):
+            ev, ev_on = inp
+            return _pool_event_step(idx, p, st, ev, ev_on), None
 
     state, _ = jax.lax.scan(step, state, (means.T, on.T))
     return state
@@ -1544,12 +1655,23 @@ class PooledEngine:
         }
         meta = {k: v for k, v in self.idx.items() if isinstance(v, int)}
 
-        def _adv(state, means, on, tables):
-            return pool_advance_block(
-                dict(tables, **meta), p, state, means, on
-            )
+        if p.handoff:
+            def _adv(state, means, on, sb, tables):
+                return pool_advance_block(
+                    dict(tables, **meta), p, state, means, on, sb=sb
+                )
+        else:
+            def _adv(state, means, on, tables):
+                return pool_advance_block(
+                    dict(tables, **meta), p, state, means, on
+                )
 
         self._advance = jax.jit(_adv, donate_argnums=(0,))
+        if p.handoff:
+            # latched fields + the switch flag ride the packed readout
+            self.READOUT_KEYS = _ME.READOUT_KEYS + ("sw",) + tuple(
+                "lt_" + k for k in LATCH_KEYS
+            )
         # reset must be jitted: eagerly it dispatches ~40 pool-sized ops
         # per refill over the (remote) device link, and refills happen
         # nearly every block while reads churn
@@ -1582,11 +1704,25 @@ class PooledEngine:
 
         return self._reset(state, jnp.asarray(mask))
 
-    def advance(self, state, means, on):
+    def advance(self, state, means, on, sb=None):
         import jax.numpy as jnp
 
         means = jnp.asarray(means, dtype=jnp.float32)
         on = jnp.asarray(on, dtype=bool)
+        if self.params.handoff:
+            B, T = means.shape
+            if sb is None:
+                sb = (
+                    np.zeros((B, 2 * T), np.float32),
+                    np.zeros((B, 2 * T), bool),
+                    np.zeros((B,), bool),
+                    np.zeros((B,), bool),
+                )
+            sb = (
+                jnp.asarray(sb[0], jnp.float32), jnp.asarray(sb[1], bool),
+                jnp.asarray(sb[2], bool), jnp.asarray(sb[3], bool),
+            )
+            return self._advance(state, means, on, sb, self._tables)
         return self._advance(state, means, on, self._tables)
 
     # packed [K, B] readout, split into async dispatch + blocking fetch

@@ -121,6 +121,11 @@ class ShardedMapEngine(MapEngine):
                 in_specs=(st_specs, P(dp_axis, None), P(dp_axis, None),
                           tbl_specs),
                 out_specs=st_specs,
+                # pallas_call outputs (ShapeDtypeStruct) inside shard_map
+                # trip the vma check on the TPU backend (pair_counts
+                # auto-routes to its Pallas kernel there); the specs are
+                # explicit so the check adds nothing
+                check_vma=False,
             ),
             donate_argnums=(0,),
         )
@@ -259,6 +264,11 @@ class ShardedPooledEngine(PooledEngine):
                 in_specs=(st_specs, P(dp_axis, None), P(dp_axis, None),
                           tbl_specs),
                 out_specs=st_specs,
+                # pallas_call outputs (ShapeDtypeStruct) inside shard_map
+                # trip the vma check on the TPU backend (pair_counts
+                # auto-routes to its Pallas kernel there); the specs are
+                # explicit so the check adds nothing
+                check_vma=False,
             ),
             donate_argnums=(0,),
         )
@@ -271,6 +281,11 @@ class ShardedPooledEngine(PooledEngine):
                 mesh=mesh,
                 in_specs=(st_specs, P(dp_axis)),
                 out_specs=st_specs,
+                # pallas_call outputs (ShapeDtypeStruct) inside shard_map
+                # trip the vma check on the TPU backend (pair_counts
+                # auto-routes to its Pallas kernel there); the specs are
+                # explicit so the check adds nothing
+                check_vma=False,
             ),
             donate_argnums=(0,),
         )
