@@ -348,11 +348,15 @@ def _sort1d_bitonic(keys, kernel=False, kernel_interpret=False):
     jnp = _jnp()
     i32 = jnp.int32
     N = keys[0].shape[0]
-    # finisher row width: the merge kernel absorbs every stride >= C as
-    # near-free VMEM passes (strides >= 128 are sublane-expressible), so
-    # with the kernel on the finishers shrink to width-128 lax.sorts
-    # (network depth ~ log^2 W: measured 92 us at W=1024 vs ~45 at 128)
-    C = 128 if kernel else 1024
+    # finisher row width (per level below when the kernel is on): the
+    # merge kernel absorbs every stride >= C as near-free VMEM passes
+    # (strides >= 128 are sublane-expressible), so finishers shrink to
+    # width-128 lax.sorts (network depth ~ log^2 W: 92 us at W=1024 vs
+    # ~45 at 128).  Only for levels whose chunk block stays small: at
+    # k_lv=131072 the extra unrolled passes of C=128 ran the Mosaic AOT
+    # compiler out of its 16 MB scoped-vmem stack (17.63M needed), so
+    # big levels keep the proven C=1024 shape.
+    C = 1024
     C0 = 8192  # initial sorted-run length
     NP = 1 << max(int(np.ceil(np.log2(max(N, C0)))), 0)
     MAXV = np.int32(INT32_MAX)
@@ -394,6 +398,9 @@ def _sort1d_bitonic(keys, kernel=False, kernel_interpret=False):
     k_lv = 2 * W0
     while k_lv <= NP:
         s = k_lv // 2
+        C = 1024
+        if kernel:
+            C = 128 if k_lv <= 32768 else 1024
         if kernel and s >= C:
             # all of this level's XOR passes in one VMEM kernel call
             from ..ops.sortkern import merge_level
