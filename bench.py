@@ -376,6 +376,7 @@ def main():
             return
         host_ovh["migrate_s"] += m.t_migrate
         host_ovh["refill_s"] += m.t_refill
+        host_ovh["n_migrate"] = host_ovh.get("n_migrate", 0) + m.n_migrate
         if m.disp_events:
             util[tag] = round(m.useful_events / m.disp_events, 3)
         if m.pool_hw.any():

@@ -59,3 +59,25 @@ def test_handoff_byte_parity_and_switches(
     assert n_sw[0] > 0, "no device switch ever fired — protocol dead"
     for rid in rids:
         assert on[rid] == off[rid] == golden_pafs[rid], rid
+
+
+def test_handoff_with_drain_disarm(
+    example_index, example_threshes, pore_model, make_read, golden_reads,
+    golden_pafs,
+):
+    """Tail mode: lingering standbys must disarm and re-enter via the
+    straggler drain without losing reads or parity (the first handoff
+    bench ran the whole tail at full width because standbys starved
+    want_drain)."""
+    conf = Conf()
+    conf.engine.batch_reads = 8  # >= drain_min_batch: drain CAN fire
+    conf.engine.pooled = True
+    conf.engine.pool_slots_per_read = 512
+    conf.engine.slot_handoff = True
+    rids = list(golden_pafs)
+    bm = BatchMapper(example_index, pore_model, example_threshes, conf)
+    reads = [make_read(r, golden_reads[r]) for r in rids]
+    got = {p.rd_name: p.to_line() for p in bm.map_reads(reads)}
+    assert len(got) == len(rids), "reads lost through the disarm path"
+    for rid in rids:
+        assert got[rid] == golden_pafs[rid], rid

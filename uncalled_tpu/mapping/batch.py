@@ -109,6 +109,7 @@ class BatchMapper:
         # wall minus device waits lives here
         self.t_migrate = 0.0
         self.t_refill = 0.0
+        self.n_migrate = 0
         # pool-global demand high-water (pooled engines only): max over
         # all events of [flags, valid, keep, entries, rows] WANT totals —
         # the sizing evidence for SC/S/RE/RT (state["dm_pool"])
@@ -441,6 +442,7 @@ class BatchMapper:
         engines, too many reads, pool wouldn't fit, mismatched shapes)."""
         from .pooled import PooledEngine
 
+        self.n_migrate += 1
         if not (
             isinstance(self.eng, PooledEngine)
             and isinstance(dm.eng, PooledEngine)
@@ -491,6 +493,21 @@ class BatchMapper:
         standby: dict = {}  # b -> armed standby _Slot
         promote_pending = np.zeros(B, bool)
         ready: list = []  # (b, slot): standbys promoted the classic way
+        returned: list = []  # disarmed standbys' reads, re-queued for
+        # the straggler drain (see the tail-mode disarm below)
+        stale = np.zeros(B, bool)  # freed-but-alive slots needing reset
+
+        def _pull():
+            """Next read: disarmed-standby returns first, then the
+            input iterator (StopIteration only when both are dry)."""
+            nonlocal input_done
+            if returned:
+                return returned.pop(0)
+            try:
+                return next(it)
+            except StopIteration:
+                input_done = True
+                raise
 
         def refill(state):
             nonlocal pending, input_done
@@ -502,7 +519,8 @@ class BatchMapper:
 
         def _refill(state):
             nonlocal pending, input_done
-            mask = np.zeros(B, bool)
+            mask = stale.copy()  # latch-fallback slots: state still alive
+            stale[:] = False
             # standbys whose primary never switched (exhausted/ejected
             # reads) enter their slot the classic way: fresh reset, any
             # stray device-side switch state is wiped by the same reset
@@ -516,9 +534,8 @@ class BatchMapper:
             for b in range(B):
                 if slots[b] is None:
                     try:
-                        incoming.append((b, next(it)))
+                        incoming.append((b, _pull()))
                     except StopIteration:
-                        input_done = True
                         break
             if not incoming:
                 if ho:
@@ -562,12 +579,13 @@ class BatchMapper:
             ]
             incoming = []
             for b in want:
+                # never arm past end-of-input: tail-mode returns would
+                # re-arm and cycle with the disarm above
                 if input_done:
                     break
                 try:
-                    incoming.append((b, next(it)))
+                    incoming.append((b, _pull()))
                 except StopIteration:
-                    input_done = True
                     break
             if not incoming:
                 return state
@@ -612,6 +630,7 @@ class BatchMapper:
 
         state = refill(state)
         drain_cont = None
+        _zeros_b = np.zeros(B, bool)
         # Speculative double-buffering (PERF.md): dispatch block k+1 and
         # its readout BEFORE fetching block k's readout, so host work
         # (readout transfer, harvest, DSP, refill) overlaps device
@@ -620,8 +639,25 @@ class BatchMapper:
         # refilled reads start at block k+2.  ``pend`` holds the one
         # in-flight block: (readout handle, [(slot idx, slot, fed_after)]).
         pend = None
-        while pending or pend is not None:
+        while pending or pend is not None or returned:
+            if returned and not pending and pend is None:
+                state = refill(state)  # re-admit disarmed standbys
             thresh = max(4, B // self.conf.engine.drain_div)
+            if (
+                ho and can_drain and input_done and standby
+                and pending - len(standby) <= thresh
+            ):
+                # TAIL MODE: the straggler drain must not be starved by
+                # lingering standbys (first handoff bench: the ~128-read
+                # tail ran at full B=256 for ~90 extra blocks).  Disarm:
+                # stop feeding the standby windows and re-queue the
+                # unswitched standbys for the drain mapper.  A standby
+                # the in-flight block ALREADY switched to is caught at
+                # harvest by the latch fallback below (r1 emitted from
+                # lt_*, the standby re-runs from scratch).
+                for b in list(standby):
+                    returned.append(standby.pop(b).read)
+                    pending -= 1  # re-counted when pulled again
             want_drain = (
                 can_drain and input_done and pending <= thresh
                 # handoff state must be fully settled before a migration
@@ -703,7 +739,8 @@ class BatchMapper:
                 for b, s, fed_after in pend[1]:
                     if slots[b] is not s:
                         continue  # harvested at an earlier block
-                    if ho and b in standby and bool(ro["sw"][b]):
+                    ro_sw = ro["sw"] if (ho and "sw" in ro) else _zeros_b
+                    if ho and b in standby and bool(ro_sw[b]):
                         # the device switched this slot to its standby:
                         # emit the latched primary and promote the
                         # standby to the primary lane at the exact
@@ -734,6 +771,36 @@ class BatchMapper:
                         promote_pending[b] = True
                         pending -= 1
                         continue  # the promoted read reports next block
+                    if ho and bool(ro_sw[b]) and not promote_pending[b]:
+                        # LATCH FALLBACK: the device switched but the
+                        # standby was disarmed (tail mode) before this
+                        # harvest — emit the finished primary from the
+                        # latch; the standby (already in `returned`)
+                        # re-runs from scratch, its partial device
+                        # progress is discarded by the slot reset.
+                        lt = {k: ro["lt_" + k] for k in LATCH_KEYS}
+                        self.useful_events += int(lt["evt_i"][b])
+                        dm = tuple(
+                            int(lt["dm_" + k2][b])
+                            for k2 in ("flags", "valid", "paths", "rows",
+                                       "cl")
+                        )
+                        self.demand[s.read.id] = dm
+                        if remap and lt["ovf"][b]:
+                            self.ovf_why[s.read.id] = int(lt["ovf_why"][b])
+                            overflowed.append(
+                                (s.read, int(lt["ovf_why"][b]), dm)
+                            )
+                        else:
+                            if lt["ovf"][b]:
+                                self.ovf_why[s.read.id] = int(
+                                    lt["ovf_why"][b]
+                                )
+                            yield self._finalize(s, lt, b)
+                        slots[b] = None
+                        stale[b] = True  # r2's live rows need a reset
+                        pending -= 1
+                        continue
                     exhausted = fed_after >= len(s.means)
                     # EARLY EJECT: once the sticky overflow flag is set
                     # this rung's result will be discarded in favor of a
@@ -776,13 +843,19 @@ class BatchMapper:
         self._absorb_hw(state)
         if drain_cont is not None:
             dm, dslots, mig, dn = drain_cont
-            yield from dm._run(iter(()), dslots, mig, dn, True, overflowed)
+            # disarmed standbys re-enter via the drain's own input
+            yield from dm._run(
+                iter(returned), dslots, mig, dn, not returned, overflowed
+            )
+            returned = []
         elif drained:
             dm = self._get_drain()
             yield from dm._run(
-                iter(drained), [None] * dm.eng.params.B,
+                iter(drained + returned), [None] * dm.eng.params.B,
                 dm.eng.fresh_state(), 0, False, overflowed,
             )
+            returned = []
+        assert not returned, "disarmed standbys must re-enter a mapper"
 
         if ovf_sink is not None:
             return  # ejects routed by the entry mapper
