@@ -230,8 +230,18 @@ def main():
             warm(nd)
             if hasattr(d.eng, "migrate"):
                 # compile the drain-handoff migration program too —
-                # otherwise its first use runs inside the timed window
+                # otherwise its first use runs inside the timed window.
+                # The warm state must go through ONE advance so its
+                # array layouts match the runtime lineage (a fresh-state
+                # migrate compiled a DIFFERENT program and the runtime
+                # call re-compiled in-window).
+                Bs = d.eng.params.B
                 st = d.eng.fresh_state()
+                st = d.eng.reset_slots(st, np.ones((Bs,), bool))
+                st = d.eng.advance(
+                    st, np.zeros((Bs, d.T), np.float32),
+                    np.zeros((Bs, d.T), bool),
+                )
                 sel = np.full(nd.eng.params.B, -1, np.int32)
                 mig = d.eng.migrate(st, sel, nd.eng)
                 _jax.block_until_ready(mig["evt_i"])
@@ -377,6 +387,9 @@ def main():
         host_ovh["migrate_s"] += m.t_migrate
         host_ovh["refill_s"] += m.t_refill
         host_ovh["n_migrate"] = host_ovh.get("n_migrate", 0) + m.n_migrate
+        ph = host_ovh.setdefault("mig_phase_s", [0.0, 0.0, 0.0])
+        for i in range(3):
+            ph[i] = round(ph[i] + m.mig_phase[i], 2)
         if m.disp_events:
             util[tag] = round(m.useful_events / m.disp_events, 3)
         if m.pool_hw.any():

@@ -110,6 +110,8 @@ class BatchMapper:
         self.t_migrate = 0.0
         self.t_refill = 0.0
         self.n_migrate = 0
+        # [absorb_hw, n_paths device_get, migrate dispatch] seconds
+        self.mig_phase = [0.0, 0.0, 0.0]
         # pool-global demand high-water (pooled engines only): max over
         # all events of [flags, valid, keep, entries, rows] WANT totals —
         # the sizing evidence for SC/S/RE/RT (state["dm_pool"])
@@ -451,15 +453,28 @@ class BatchMapper:
         ps, pd = self.eng.params, dm.eng.params
         if len(keep) > pd.B or ps.CL != pd.CL or ps.seed_len != pd.seed_len:
             return None
+        import time as _time
+
         import jax
 
-        self._absorb_hw(state)
-        n_paths = np.asarray(jax.device_get(state["n_paths"]))
+        t0 = _time.time()
+        # ONE device round trip for both the hw absorb and the fit check
+        # (two sequential device_gets measured as a per-hop stall)
+        hw, n_paths = jax.device_get(
+            (state.get("dm_pool"), state["n_paths"])
+        ) if "dm_pool" in state else (None, jax.device_get(state["n_paths"]))
+        if hw is not None:
+            np.maximum(self.pool_hw, np.asarray(hw), out=self.pool_hw)
+        n_paths = np.asarray(n_paths)
+        t2 = _time.time()
+        self.mig_phase[1] += t2 - t0
         if int(n_paths[keep].sum()) > pd.S:
             return "nofit"  # caller may wait for fewer stragglers
         sel = np.full(pd.B, -1, np.int32)
         sel[: len(keep)] = keep
-        return self.eng.migrate(state, sel, dm.eng)
+        out = self.eng.migrate(state, sel, dm.eng)
+        self.mig_phase[2] += _time.time() - t2
+        return out
 
     def _absorb_hw(self, state):
         """Fold the device's pool-global demand high-water into the
@@ -631,6 +646,7 @@ class BatchMapper:
         state = refill(state)
         drain_cont = None
         _zeros_b = np.zeros(B, bool)
+        nofit_at = None  # straggler count at the last nofit migration
         # Speculative double-buffering (PERF.md): dispatch block k+1 and
         # its readout BEFORE fetching block k's readout, so host work
         # (readout transfer, harvest, DSP, refill) overlaps device
@@ -646,6 +662,7 @@ class BatchMapper:
             if (
                 ho and can_drain and input_done and standby
                 and pending - len(standby) <= thresh
+                and (nofit_at is None or pending - len(standby) < nofit_at)
             ):
                 # TAIL MODE: the straggler drain must not be starved by
                 # lingering standbys (first handoff bench: the ~128-read
@@ -663,6 +680,10 @@ class BatchMapper:
                 # handoff state must be fully settled before a migration
                 # (standby windows and unpromoted switches don't travel)
                 and not standby and not promote_pending.any() and not ready
+                # a nofit migration attempt idles the device (the
+                # pipeline must be dry to migrate): don't retry until
+                # the straggler count actually dropped
+                and (nofit_at is None or pending < nofit_at)
             )
             if pend is None and pending and want_drain:
                 # straggler drain (pipeline empty, state fully settled):
@@ -674,6 +695,8 @@ class BatchMapper:
                 _tm = __import__("time").time()
                 mig = self._try_migrate(dm, state, keep)
                 self.t_migrate += __import__("time").time() - _tm
+                if mig == "nofit":
+                    nofit_at = pending
                 if mig == "nofit" and (
                     self._pool_tier > 0
                     or pending > max(
