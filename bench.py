@@ -558,7 +558,10 @@ def main():
         # 4=full-source cap, 8=path pool, 16=row caps
         "eject_why": {str(k): v for k, v in why_hist.items()},
         "slot_utilization": util,
-        "host_overheads_s": {k: round(v, 2) for k, v in host_ovh.items()},
+        "host_overheads_s": {
+            k: (v if isinstance(v, (list, int)) else round(v, 2))
+            for k, v in host_ovh.items()
+        },
         "pool_hw": pool_hw,
         "eject_ids": eject_ids[:24],
         "mapper_blocks": {
