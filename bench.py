@@ -339,6 +339,23 @@ def main():
 
     BatchMapper._get_drain, BatchMapper._get_next = _gd, _gn
 
+    # zero the host-overhead/utilization counters the warmup map_reads
+    # polluted (the 8-read warmup migrates to the drain chain, and its
+    # FIRST migrations carry compile walls — r5_e recorded 18.5 s of
+    # "migrate_s" that was mostly warmup compile time)
+    def _zero_counters(m):
+        while m is not None:
+            d = m
+            while d is not None:
+                d.t_migrate = d.t_refill = 0.0
+                d.n_migrate = d.n_handoff = 0
+                d.mig_phase = [0.0, 0.0, 0.0]
+                d.disp_events = d.useful_events = 0
+                d = d._drain_mapper
+            m = m._next_mapper
+
+    _zero_counters(bm)
+
     timed_reads = reads[N_WARM:] + golden_reads
     t0 = time.time()
     n_mapped = 0
@@ -387,6 +404,7 @@ def main():
         host_ovh["migrate_s"] += m.t_migrate
         host_ovh["refill_s"] += m.t_refill
         host_ovh["n_migrate"] = host_ovh.get("n_migrate", 0) + m.n_migrate
+        host_ovh["n_handoff"] = host_ovh.get("n_handoff", 0) + m.n_handoff
         ph = host_ovh.setdefault("mig_phase_s", [0.0, 0.0, 0.0])
         for i in range(3):
             ph[i] = round(ph[i] + m.mig_phase[i], 2)

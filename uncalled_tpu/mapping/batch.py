@@ -112,6 +112,7 @@ class BatchMapper:
         self.n_migrate = 0
         # [absorb_hw, n_paths device_get, migrate dispatch] seconds
         self.mig_phase = [0.0, 0.0, 0.0]
+        self.n_handoff = 0  # device switches harvested (swap branch)
         # pool-global demand high-water (pooled engines only): max over
         # all events of [flags, valid, keep, entries, rows] WANT totals —
         # the sizing evidence for SC/S/RE/RT (state["dm_pool"])
@@ -268,8 +269,14 @@ class BatchMapper:
             # double the event block to halve per-block dispatch/readout
             # round trips.  (Under LPT the tail holds SHORT reads, so
             # this trades a little finalize latency per read for fewer
-            # round trips; the drain is ~7% of bench wall either way.)
-            self._drain_mapper.T = min(2 * self.T, 128)
+            # round trips.)  NARROW drains (B<=8) carry 1-4 monster
+            # reads to stream end at tiny per-event compute: their
+            # blocks measured 0.18-0.22 s of which ~0.13 s was pure
+            # dispatch/readout round-trip overhead (r5_g), so they run
+            # T=512 — 4x fewer round trips.
+            self._drain_mapper.T = (
+                512 if Bd <= 8 else min(2 * self.T, 128)
+            )
         return self._drain_mapper
 
     def _rung_fits(self, rung_i: int, why: int, dm) -> bool:
@@ -793,6 +800,7 @@ class BatchMapper:
                         slots[b] = ss
                         promote_pending[b] = True
                         pending -= 1
+                        self.n_handoff += 1
                         continue  # the promoted read reports next block
                     if ho and bool(ro_sw[b]) and not promote_pending[b]:
                         # LATCH FALLBACK: the device switched but the
