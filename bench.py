@@ -248,10 +248,11 @@ def main():
             d = nd
 
     if conf.engine.drain_shrink:
-        # the whole entry chain: BENCH_r04 telemetry caught drain_B16's
-        # advance compiling INSIDE the timed window (7.5 s dispatch wall
-        # for 2 blocks)
-        warm_drains(bm, 16)
+        # the whole entry chain DOWN TO B4: r04 caught drain_B16
+        # compiling in-window; r5_h caught drain_B4 (35.1 s!) after the
+        # T=512 warmup blocks stopped the 8-read warmup from ever
+        # reaching it organically
+        warm_drains(bm, 8)
     m = bm
     for _ in range(n_warm_rungs):
         m = m._get_next()
