@@ -269,14 +269,12 @@ class BatchMapper:
             # double the event block to halve per-block dispatch/readout
             # round trips.  (Under LPT the tail holds SHORT reads, so
             # this trades a little finalize latency per read for fewer
-            # round trips.)  NARROW drains (B<=8) carry 1-4 monster
-            # reads to stream end at tiny per-event compute: their
-            # blocks measured 0.18-0.22 s of which ~0.13 s was pure
-            # dispatch/readout round-trip overhead (r5_g), so they run
-            # T=512 — 4x fewer round trips.
-            self._drain_mapper.T = (
-                512 if Bd <= 8 else min(2 * self.T, 128)
-            )
+            # round trips.)  A T=512 trial for B<=8 drains MEASURED
+            # WORSE (35.7 vs 37.1 reads/s, r5_i): narrow tier-drain
+            # blocks are COMPUTE-bound at the tier's SC floor (~1.8
+            # ms/event — monster flag bursts keep SC at 24576 at any
+            # width), and coarse blocks overshoot stream ends.
+            self._drain_mapper.T = min(2 * self.T, 128)
         return self._drain_mapper
 
     def _rung_fits(self, rung_i: int, why: int, dm) -> bool:
