@@ -113,7 +113,7 @@ def main():
 
     # warm (compile)
     state = eng.advance(state, *blocks[0])
-    jax.block_until_ready(state["evt_i"])
+    np.asarray(jax.device_get(state["evt_i"]))  # real sync (see below)
 
     prof_dir = os.environ.get("POOLT_PROFILE")
     if prof_dir:
@@ -121,7 +121,9 @@ def main():
     t0 = time.time()
     for mb, ob in blocks[1:]:
         state = eng.advance(state, mb, ob)
-    jax.block_until_ready(state["evt_i"])
+    # block_until_ready does NOT block on the remote axon backend (the
+    # 0.05 ms/event wall artifact) — device_get of a value does
+    np.asarray(jax.device_get(state["evt_i"]))
     dt = time.time() - t0
     if prof_dir:
         jax.profiler.stop_trace()

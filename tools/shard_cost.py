@@ -49,11 +49,14 @@ def _time_engine(eng, B, T, iters):
     m = rng.normal(90.0, 12.0, size=(B, T)).astype(np.float32)
     on = np.ones((B, T), bool)
     state = eng.advance(state, m, on)  # compile
-    jax.block_until_ready(state["evt_i"])
+    np.asarray(jax.device_get(state["evt_i"]))
     t0 = time.time()
     for _ in range(iters):
         state = eng.advance(state, m, on)
-        jax.block_until_ready(state["evt_i"])
+    # block_until_ready does NOT block on the remote axon backend
+    # (handles report ready before execution finishes — the 0.15
+    # ms/event artifact); a device_get of a real value does.
+    np.asarray(jax.device_get(state["evt_i"]))
     return (time.time() - t0) / (iters * T) * 1000.0
 
 
