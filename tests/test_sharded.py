@@ -95,3 +95,35 @@ def test_sharded_pooled_paf_identical(
     got = {p.rd_name: p.to_line() for p in bm.map_reads(reads)}
     for rid in GOLDEN_SUBSET:
         assert got[rid] == golden_pafs[rid], rid
+
+
+def test_sharded_pooled_more_reads_than_slots(
+    mesh, example_index, example_threshes, pore_model, make_read,
+    golden_reads, golden_pafs,
+):
+    """Reads > B through the sharded engine: the slot-handoff default
+    must not leak into the sharded wrapper (its advance has no sb lane
+    — BatchMapper armed a standby and crashed with a TypeError before
+    the handoff=False pin, code-review r5)."""
+    from uncalled_tpu.parallel import ShardedPooledEngine
+
+    conf = Conf()
+    conf.engine.batch_reads = 2
+    conf.engine.pooled = True
+    conf.engine.pool_slots_per_read = 512
+    conf.engine.drain_shrink = False
+    eng = ShardedPooledEngine(
+        example_index, pore_model, example_threshes, conf, mesh=mesh,
+    )
+    assert not eng.params.handoff
+    bm = BatchMapper(
+        example_index, pore_model, example_threshes, conf, engine=eng
+    )
+    rids = GOLDEN_SUBSET + [
+        "sim_0002_Escherichia_coli_6254_+",
+        "sim_0005_Escherichia_coli_3483_+",
+    ]
+    reads = [make_read(r, golden_reads[r]) for r in rids]
+    got = {p.rd_name: p.to_line() for p in bm.map_reads(reads)}
+    for rid in rids:
+        assert got[rid] == golden_pafs[rid], rid

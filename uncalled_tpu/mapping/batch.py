@@ -518,10 +518,14 @@ class BatchMapper:
         stale = np.zeros(B, bool)  # freed-but-alive slots needing reset
 
         def _pull():
-            """Next read: disarmed-standby returns first, then the
-            input iterator (StopIteration only when both are dry)."""
+            """Next read.  Disarmed-standby returns are HELD for the
+            straggler drain while active reads remain and draining is
+            possible — re-admitting them as full-width primaries in the
+            same iteration defeated the tail-mode disarm entirely
+            (code-review r5); they serve as the last-resort source only
+            when the drain can't take them."""
             nonlocal input_done
-            if returned:
+            if returned and (not can_drain or not pending):
                 return returned.pop(0)
             try:
                 return next(it)
@@ -647,6 +651,24 @@ class BatchMapper:
             # actually narrow the batch is pure program churn
             and max(4, B // self.conf.engine.drain_div) < B
         )
+
+        def emit_latched(s, ro, b):
+            """Emit the latched (lt_*) readout of a switched-away
+            primary: returns a Paf to yield, or None when the read was
+            routed to the eject ladder instead."""
+            lt = {k: ro["lt_" + k] for k in LATCH_KEYS}
+            self.useful_events += int(lt["evt_i"][b])
+            dm = tuple(
+                int(lt["dm_" + k2][b])
+                for k2 in ("flags", "valid", "paths", "rows", "cl")
+            )
+            self.demand[s.read.id] = dm
+            if lt["ovf"][b]:
+                self.ovf_why[s.read.id] = int(lt["ovf_why"][b])
+                if remap:
+                    overflowed.append((s.read, int(lt["ovf_why"][b]), dm))
+                    return None
+            return self._finalize(s, lt, b)
 
         state = refill(state)
         drain_cont = None
@@ -774,25 +796,9 @@ class BatchMapper:
                         # standby to the primary lane at the exact
                         # deterministic offset (evt_i at readout + T
                         # consumed during the in-flight block)
-                        lt = {k: ro["lt_" + k] for k in LATCH_KEYS}
-                        self.useful_events += int(lt["evt_i"][b])
-                        dm = tuple(
-                            int(lt["dm_" + k2][b])
-                            for k2 in ("flags", "valid", "paths", "rows",
-                                       "cl")
-                        )
-                        self.demand[s.read.id] = dm
-                        if remap and lt["ovf"][b]:
-                            self.ovf_why[s.read.id] = int(lt["ovf_why"][b])
-                            overflowed.append(
-                                (s.read, int(lt["ovf_why"][b]), dm)
-                            )
-                        else:
-                            if lt["ovf"][b]:
-                                self.ovf_why[s.read.id] = int(
-                                    lt["ovf_why"][b]
-                                )
-                            yield self._finalize(s, lt, b)
+                        paf = emit_latched(s, ro, b)
+                        if paf is not None:
+                            yield paf
                         ss = standby.pop(b)
                         ss.fed = min(int(ro["evt_i"][b]) + T, len(ss.means))
                         slots[b] = ss
@@ -807,25 +813,9 @@ class BatchMapper:
                         # latch; the standby (already in `returned`)
                         # re-runs from scratch, its partial device
                         # progress is discarded by the slot reset.
-                        lt = {k: ro["lt_" + k] for k in LATCH_KEYS}
-                        self.useful_events += int(lt["evt_i"][b])
-                        dm = tuple(
-                            int(lt["dm_" + k2][b])
-                            for k2 in ("flags", "valid", "paths", "rows",
-                                       "cl")
-                        )
-                        self.demand[s.read.id] = dm
-                        if remap and lt["ovf"][b]:
-                            self.ovf_why[s.read.id] = int(lt["ovf_why"][b])
-                            overflowed.append(
-                                (s.read, int(lt["ovf_why"][b]), dm)
-                            )
-                        else:
-                            if lt["ovf"][b]:
-                                self.ovf_why[s.read.id] = int(
-                                    lt["ovf_why"][b]
-                                )
-                            yield self._finalize(s, lt, b)
+                        paf = emit_latched(s, ro, b)
+                        if paf is not None:
+                            yield paf
                         slots[b] = None
                         stale[b] = True  # r2's live rows need a reset
                         pending -= 1

@@ -1719,16 +1719,26 @@ class PooledEngine:
         if self.params.handoff:
             B, T = means.shape
             if sb is None:
+                # cached device-resident zeros: rebuilding + re-shipping
+                # four host arrays per sb-less advance cost a transfer
+                # per block for nothing (code-review r5)
+                if not hasattr(self, "_zero_sb"):
+                    self._zero_sb = {}
+                sb = self._zero_sb.get((B, T))
+                if sb is None:
+                    sb = (
+                        jnp.zeros((B, 2 * T), jnp.float32),
+                        jnp.zeros((B, 2 * T), bool),
+                        jnp.zeros((B,), bool),
+                        jnp.zeros((B,), bool),
+                    )
+                    self._zero_sb[(B, T)] = sb
+            else:
                 sb = (
-                    np.zeros((B, 2 * T), np.float32),
-                    np.zeros((B, 2 * T), bool),
-                    np.zeros((B,), bool),
-                    np.zeros((B,), bool),
+                    jnp.asarray(sb[0], jnp.float32),
+                    jnp.asarray(sb[1], bool),
+                    jnp.asarray(sb[2], bool), jnp.asarray(sb[3], bool),
                 )
-            sb = (
-                jnp.asarray(sb[0], jnp.float32), jnp.asarray(sb[1], bool),
-                jnp.asarray(sb[2], bool), jnp.asarray(sb[3], bool),
-            )
             return self._advance(state, means, on, sb, self._tables)
         return self._advance(state, means, on, self._tables)
 

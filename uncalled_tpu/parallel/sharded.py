@@ -189,6 +189,11 @@ class ShardedPooledEngine(PooledEngine):
         over.setdefault("sort_mode", "flat")
         over.setdefault("tracker_kernel", False)
         over.setdefault("stepkern", False)
+        over.setdefault("sortkern", False)
+        # slot handoff needs the sb-window advance signature this
+        # wrapper doesn't forward; BatchMapper would arm standbys and
+        # crash advance() with an unexpected kwarg (code-review r5)
+        over.setdefault("handoff", False)
         over.setdefault("sampled_sa", True)
         self.params = PoolParams.from_conf(self.conf, **over)
         p = self.params

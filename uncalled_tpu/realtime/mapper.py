@@ -53,6 +53,10 @@ class RealtimeMapper:
         self.conf = conf or Conf()
         n_ch = self.conf.reads.num_channels
         self.conf.engine.batch_reads = n_ch
+        # channel slots are pinned to the pore — there is no read queue
+        # to stand by, so the slot-handoff machinery (sb windows, lt_*
+        # readout rows) is pure overhead here
+        over.setdefault("handoff", False)
         self.bm = BatchMapper(fmi, model, threshes, self.conf, **over)
         self.eng = self.bm.eng
         self.state = self.eng.fresh_state()
@@ -103,6 +107,9 @@ class RealtimeMapper:
                     paf.ended = True
                     self._pending.append((c + 1, ch.number, paf))
                     ch.done_reported = True
+                    # replacement-ended reads count in the give-up
+                    # telemetry too (never an ovf cut)
+                    self.giveups.append((ch.read_id, False, ch.n_chunks))
                 self._start_read(c, chunk, now)
             ch = self.channels[c]
             ch.n_chunks += 1
