@@ -125,7 +125,13 @@ def main():
     conf.engine.batch_reads = BATCH
     conf.engine.pooled = True
     conf.engine.pool_slots_per_read = 384
-    bm = BatchMapper(fmi, model, threshes, conf)
+    # DS_CL: cluster-table override — the r5 run measured 15/256 CL
+    # evictions at CL=2048 (repeat-tail cluster demand crosses 2048 at
+    # 100 Mb); this knob tests the CL=4096 sizing hypothesis
+    over = {}
+    if os.environ.get("DS_CL"):
+        over["CL"] = int(os.environ["DS_CL"])
+    bm = BatchMapper(fmi, model, threshes, conf, **over)
 
     t0 = time.time()
     n_mapped = n_correct = 0

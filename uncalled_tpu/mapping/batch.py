@@ -685,7 +685,16 @@ class BatchMapper:
         while pending or pend is not None or returned:
             if returned and not pending and pend is None:
                 state = refill(state)  # re-admit disarmed standbys
-            thresh = max(4, B // self.conf.engine.drain_div)
+            # with handoff, full-width blocks stay efficient (standbys
+            # keep slots busy), so the drain is endgame-only: draining
+            # at <= B/2 actives moved HALF the batch's flag demand into
+            # a HALF-sized pool (zero SC margin — 7 fresh why=2 ejects
+            # fed the wide tier, bench r5_k).  <= B/4 actives into the
+            # B/2 drain pool keeps 2x headroom.
+            thresh = max(
+                4,
+                B // (self.conf.engine.drain_div * (2 if ho else 1)),
+            )
             if (
                 ho and can_drain and input_done and standby
                 and pending - len(standby) <= thresh
