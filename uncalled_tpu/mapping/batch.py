@@ -261,10 +261,23 @@ class BatchMapper:
                     ),
                 )
             else:
+                over2 = {**self._over, "B": Bd}
+                if (
+                    getattr(self.eng.params, "handoff", False)
+                    and "SC" not in over2
+                ):
+                    # with the slot handoff + tail disarm, drains fire
+                    # at EXACTLY <=B/2 actives — the migrated half can
+                    # carry more than half the batch's flag demand, and
+                    # the proportional SC (S + S/4) cut 7 ordinary
+                    # reads onto the wide tier (why=2, bench r5_k).
+                    # 1.5x S keeps ~1.2x margin over the measured want.
+                    slots_pr = self.eng.params.S // self.eng.params.B
+                    over2["SC"] = Bd * slots_pr + (Bd * slots_pr) // 2
                 self._drain_mapper = BatchMapper(
                     self.fmi, self.model, self.threshes, self.conf,
                     emit_timing=self.emit_timing, _rung=self._rung,
-                    **{**self._over, "B": Bd},
+                    **over2,
                 )
             # double the event block to halve per-block dispatch/readout
             # round trips.  (Under LPT the tail holds SHORT reads, so
@@ -685,16 +698,13 @@ class BatchMapper:
         while pending or pend is not None or returned:
             if returned and not pending and pend is None:
                 state = refill(state)  # re-admit disarmed standbys
-            # with handoff, full-width blocks stay efficient (standbys
-            # keep slots busy), so the drain is endgame-only: draining
-            # at <= B/2 actives moved HALF the batch's flag demand into
-            # a HALF-sized pool (zero SC margin — 7 fresh why=2 ejects
-            # fed the wide tier, bench r5_k).  <= B/4 actives into the
-            # B/2 drain pool keeps 2x headroom.
-            thresh = max(
-                4,
-                B // (self.conf.engine.drain_div * (2 if ho else 1)),
-            )
+            # drain at <= B/2 actives (post-input the un-armed batch is
+            # mostly empty padding — a B/4 threshold trial cost 5 extra
+            # full-width blocks AND kept the tier at B=16 through the
+            # whole monster procession, r5_l); the heavier migrated
+            # population gets SC margin in the drain pool instead
+            # (_get_drain)
+            thresh = max(4, B // self.conf.engine.drain_div)
             if (
                 ho and can_drain and input_done and standby
                 and pending - len(standby) <= thresh
