@@ -261,23 +261,14 @@ class BatchMapper:
                     ),
                 )
             else:
-                over2 = {**self._over, "B": Bd}
-                if (
-                    getattr(self.eng.params, "handoff", False)
-                    and "SC" not in over2
-                ):
-                    # with the slot handoff + tail disarm, drains fire
-                    # at EXACTLY <=B/2 actives — the migrated half can
-                    # carry more than half the batch's flag demand, and
-                    # the proportional SC (S + S/4) cut 7 ordinary
-                    # reads onto the wide tier (why=2, bench r5_k).
-                    # 1.5x S keeps ~1.2x margin over the measured want.
-                    slots_pr = self.eng.params.S // self.eng.params.B
-                    over2["SC"] = Bd * slots_pr + (Bd * slots_pr) // 2
+                # proportional pools (conf formula): correct for the
+                # LIGHT LPT tail the re-admit policy delivers (a 1.5x-S
+                # SC margin for heavier populations benched 28.5 vs
+                # 36.4+ — see _pull's policy note)
                 self._drain_mapper = BatchMapper(
                     self.fmi, self.model, self.threshes, self.conf,
                     emit_timing=self.emit_timing, _rung=self._rung,
-                    **over2,
+                    **{**self._over, "B": Bd},
                 )
             # double the event block to halve per-block dispatch/readout
             # round trips.  (Under LPT the tail holds SHORT reads, so
@@ -531,14 +522,21 @@ class BatchMapper:
         stale = np.zeros(B, bool)  # freed-but-alive slots needing reset
 
         def _pull():
-            """Next read.  Disarmed-standby returns are HELD for the
-            straggler drain while active reads remain and draining is
-            possible — re-admitting them as full-width primaries in the
-            same iteration defeated the tail-mode disarm entirely
-            (code-review r5); they serve as the last-resort source only
-            when the drain can't take them."""
+            """Next read: disarmed-standby returns first, then the
+            input iterator (StopIteration only when both are dry).
+
+            MEASURED POLICY NOTE: re-admitting returns as full-width
+            primaries looks like it defeats the tail-mode disarm, but
+            HOLDING them for the drain was tried and benched WORSE
+            twice (36.4-37.1 -> 33.8/28.5 reads/s): exact-threshold
+            drains then migrate mid-flight HEAVY reads whose combined
+            flag/path demand overflows the half-sized drain pools
+            (fresh why=2/why=8 ejects onto the wide tier), and widening
+            the drain SC to compensate taxes every drain block.  The
+            re-admit path keeps the drain population the LIGHT tail the
+            pools are sized for."""
             nonlocal input_done
-            if returned and (not can_drain or not pending):
+            if returned:
                 return returned.pop(0)
             try:
                 return next(it)
