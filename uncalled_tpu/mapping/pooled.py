@@ -1638,6 +1638,13 @@ class PooledEngine:
         # shapes (R=2048 costs ~+0.4 ms/event there for nothing).
         if getattr(fmi, "n", 0) >= 150_000_000:
             over.setdefault("R", 2048)
+            # measured at 100 Mb (DEMAND_100MB_r05_cl4096.json): the
+            # repeat-tail's cluster demand DOES cross CL=2048 (true max
+            # hits the 4096 cap on 2/256 reads); CL=4096 cuts ejects
+            # 20/256 -> 7/256 (2.7%) and runs 0.36 vs 0.32 reads/s —
+            # the bigger tracker table costs less than the rung0
+            # re-passes it saves.  4.7 Mb shapes keep CL=2048.
+            over.setdefault("CL", 4096)
             b_ = over.get("B", self.conf.engine.batch_reads)
             over.setdefault("RE", max(2048, 4 * b_))
             over.setdefault("RT", max(12288, 24 * b_))
